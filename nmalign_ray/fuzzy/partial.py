@@ -1,0 +1,138 @@
+"""``fuzz.partial_ratio`` / ``partial_ratio_alignment``, vectorized.
+
+Reimplements the *published* behavior of rapidfuzz's partial-ratio search
+(the consumer is the reference's subsegmentation screen and local
+alignment, ``/root/reference/nmalign/lib/align.py:6,181,205``): slide the
+shorter string over the longer and report the best ``fuzz.ratio``
+(Indel ratio) window, including the partial windows hanging off either
+end.  The scan enumerates, in order,
+
+1. prefix windows   ``longer[:i]``            for i in 1..len(shorter)-1,
+2. full windows     ``longer[i:i+len(short)]`` for i in 0..len(longer)-len(shorter)-1,
+3. suffix windows   ``longer[i:]``            for i in len(longer)-len(shorter)..len(longer)-1,
+
+skipping windows whose boundary character does not occur in the shorter
+string (they cannot start/end an optimal alignment — rapidfuzz's char-set
+pruning), and keeps the FIRST window that strictly improves the running
+best.  All window ratios are computed in one batched Indel DP
+(``indel.indel_ratio_windows``); "first strict improvement" is then the
+first occurrence of the running maximum, reproduced exactly.
+
+The reference's own FIXME (``align.py:170-173``) documents that this is a
+windowed approximation rather than true Smith–Waterman; that quirk is
+part of the semantics and is reproduced, not fixed.
+
+Note for consumers: ``dest_start/dest_end`` index the PROCESSED (normalized)
+string when a ``processor`` is given — the reference slices the *raw*
+string with these positions (``nmalign/scripts/cli.py:105-106``), a quirk
+the engine reproduces for fixture parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import encode
+from .indel import indel_ratio_windows
+
+
+@dataclass
+class ScoreAlignment:
+    """Mirror of rapidfuzz's ScoreAlignment result record."""
+
+    score: float  # 0..100
+    src_start: int
+    src_end: int
+    dest_start: int
+    dest_end: int
+
+
+def partial_ratio(s1: str, s2: str, processor=None, score_cutoff: float | None = None) -> float:
+    res = partial_ratio_alignment(s1, s2, processor=processor)
+    score = res.score if res is not None else 0.0
+    if score_cutoff is not None and score < score_cutoff:
+        return 0.0
+    return score
+
+
+def partial_ratio_cdist(
+    l1, l2, score_cutoff: float | None = None, processor=None
+) -> np.ndarray:
+    """(N, M) float32 matrix of partial ratios — the reference's screening
+    call ``cdist(subl1, subl2, scorer=partial_ratio, score_cutoff=...)``
+    (``/root/reference/nmalign/lib/align.py:181-182``)."""
+    out = np.zeros((len(l1), len(l2)), dtype=np.float32)
+    for i, a in enumerate(l1):
+        for j, b in enumerate(l2):
+            out[i, j] = partial_ratio(a, b, processor=processor, score_cutoff=score_cutoff)
+    return out
+
+
+def partial_ratio_alignment(
+    s1: str, s2: str, processor=None, score_cutoff: float | None = None
+) -> ScoreAlignment | None:
+    if processor is not None:
+        s1 = processor(s1)
+        s2 = processor(s2)
+    if len(s1) <= len(s2):
+        res = _search(s1, s2)
+    else:
+        res = _search(s2, s1)
+        res = ScoreAlignment(
+            res.score, res.dest_start, res.dest_end, res.src_start, res.src_end
+        )
+    # Symmetric retry for equal-length inputs (rapidfuzz behavior): the
+    # window search is not symmetric, so try the flipped orientation too.
+    if res.score != 100.0 and len(s1) == len(s2):
+        res2 = _search(s2, s1)
+        if res2.score > res.score:
+            res = ScoreAlignment(
+                res2.score, res2.dest_start, res2.dest_end, res2.src_start, res2.src_end
+            )
+    if score_cutoff is not None and res.score < score_cutoff:
+        return None
+    return res
+
+
+def _search(shorter: str, longer: str) -> ScoreAlignment:
+    """Best-window search; ``shorter`` is the needle."""
+    l1, l2 = len(shorter), len(longer)
+    if l1 == 0:
+        # ratio of "" vs any non-empty window is 0; vs "" it is 100.
+        return ScoreAlignment(100.0 if l2 == 0 else 0.0, 0, 0, 0, 0)
+    needle = encode(shorter)
+    hay = encode(longer)
+    char_set = set(needle.tolist())
+
+    starts: list[int] = []
+    ends: list[int] = []
+    ok: list[bool] = []
+    # 1. prefixes longer[:i], i in 1..l1-1 — boundary char longer[i-1]
+    for i in range(1, min(l1, l2 + 1)):
+        starts.append(0)
+        ends.append(i)
+        ok.append(int(hay[i - 1]) in char_set)
+    # 2. full windows longer[i:i+l1], i in 0..l2-l1-1 — boundary char last
+    for i in range(max(0, l2 - l1)):
+        starts.append(i)
+        ends.append(i + l1)
+        ok.append(int(hay[i + l1 - 1]) in char_set)
+    # 3. suffixes longer[i:], i in l2-l1..l2-1 — boundary char first
+    for i in range(max(0, l2 - l1), l2):
+        starts.append(i)
+        ends.append(l2)
+        ok.append(int(hay[i]) in char_set)
+
+    if not starts:
+        return ScoreAlignment(0.0, 0, l1, 0, l1)
+
+    ratios = indel_ratio_windows(
+        needle, hay, np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
+    )
+    ratios = np.where(np.asarray(ok), ratios, -1.0)
+    best = int(np.argmax(ratios))  # first occurrence of max == first strict improvement
+    if ratios[best] <= 0.0:
+        return ScoreAlignment(0.0, 0, l1, 0, l1)
+    return ScoreAlignment(float(ratios[best]), 0, l1, starts[best], ends[best])
