@@ -1,0 +1,315 @@
+"""Deterministic synthetic corpus generator (seeded; no external data).
+
+Builds interleaved text+media documents in the ``input_hint`` shape
+(``doc_id``, ``spans``, ``ref_spans``) covering the fixture families of
+FIXTURES.md §4, which lift the reference's test corpus shape (~20-60
+lines/page, 4 pages, seeded sampling — ``/root/reference/tests/conftest.py:35-39``)
+and its noise model (historical-orthography glyphs + confusables —
+``/root/reference/tests/test_all.py:16-26``) to span granularity.
+
+Corruption channels:
+
+* glyph noise — the REVERSE of the engine's default normalization map
+  (``s→ſ``, umlaut → base + combining U+0364, ``-``→``⸗``), so
+  normalization is genuinely exercised and fully reverses it;
+* residual noise — OCR confusables (``e→c``, ``o→0``, ``m→rn``, ...)
+  that normalization can NOT undo, so scores land in (0, 1) and merged
+  segments keep non-zero split-edge weights (see the csr zero-drop quirk
+  in ``align/core.py``).
+
+Everything derives from ``numpy.random.default_rng(seed + doc_index)`` —
+regenerating any single document is independent of the others, which is
+what makes the generator shardable inside Ray at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .schema import CORPUS_SCHEMA
+
+GLYPH_NOISE = [
+    ("s", "ſ"),
+    ("ä", "aͤ"),
+    ("ö", "oͤ"),
+    ("ü", "uͤ"),
+    ("Ä", "Aͤ"),
+    ("Ö", "Oͤ"),
+    ("Ü", "Uͤ"),
+]
+RESIDUAL_NOISE = {"e": "c", "o": "0", "m": "rn", "n": "u", "i": "l", "t": "f"}
+
+_WORDS = (
+    "der die das und ist ein eine mit von aus auf für über unter nach bei "
+    "mensch welt zeit jahr leben hand werk stadt land wasser licht nacht tag "
+    "aufklärung unmündigkeit verstand mut wahlspruch ausgang leitung süß schön "
+    "größe übermut wörter bücher geist freiheit vernunft gesetz natur kunst"
+).split()
+
+FAMILIES = (
+    "identity", "noised", "permuted", "merged", "short",
+    "empty", "media", "html", "pdf", "mixed",
+)
+
+
+def _sentence(rng: np.random.Generator, lo=5, hi=9) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    words = [str(_WORDS[int(i)]) for i in rng.integers(0, len(_WORDS), n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def glyph_noise(s: str, rng: np.random.Generator) -> str:
+    for plain, noisy in GLYPH_NOISE:
+        s = s.replace(plain, noisy)
+    return s
+
+
+def residual_noise(s: str, rng: np.random.Generator, rate: float = 0.05) -> str:
+    out = []
+    for ch in s:
+        repl = RESIDUAL_NOISE.get(ch)
+        if repl is not None and rng.random() < rate:
+            out.append(repl)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _corrupt(s: str, rng: np.random.Generator) -> str:
+    return residual_noise(glyph_noise(s, rng), rng)
+
+
+def _wrap_pdf(s: str, rng: np.random.Generator, width: int = 28) -> str:
+    """Hard-wrap with hyphenation artifacts, reversed by extract.pdf."""
+    out = []
+    line_len = 0
+    for word in s.split(" "):
+        if line_len and line_len + 1 + len(word) > width:
+            if len(word) > 6 and rng.random() < 0.5:
+                cut = len(word) // 2
+                hyphen = "⸗" if rng.random() < 0.5 else "-"
+                out.append(" " + word[:cut] + hyphen + "\n" + word[cut:])
+                line_len = len(word) - cut
+            else:
+                out.append("\n" + word)
+                line_len = len(word)
+        else:
+            out.append((" " if line_len else "") + word)
+            line_len += len(word) + (1 if line_len else 0)
+    return "".join(out)
+
+
+def _html_wrap(segments: list[str], rng: np.random.Generator) -> str:
+    """Wrap main-content segments in markup plus nav/footer boilerplate."""
+    nav_links = " | ".join(
+        f'<a href="/{w}">{w}</a>'
+        for w in ("home", "about", "archiv", "kontakt")[: int(rng.integers(2, 5))]
+    )
+    parts = [f"<div><nav>{nav_links}</nav>"]
+    for seg in segments:
+        parts.append(f"<p>{seg}</p>")
+        if rng.random() < 0.3:
+            parts.append('<div class="share"><a href="#">teilen</a> <a href="#">drucken</a></div>')
+    parts.append("<footer>© 1784 impressum | <a href='/agb'>agb</a></footer></div>")
+    return "".join(parts)
+
+
+def make_document(doc_index: int, family: str, seed: int = 42,
+                  n_segments: tuple[int, int] = (5, 14)):
+    """Build one document: returns ``(doc_id, spans, ref_spans)`` where each
+    span is a dict ``{kind, text, media_ref, offset}``."""
+    rng = np.random.default_rng(seed * 1_000_003 + doc_index)
+    nseg = int(rng.integers(*n_segments))
+    doc_id = f"doc-{family}-{doc_index:06d}"
+
+    ref_texts = [_sentence(rng) for _ in range(nseg)]
+    ref_spans: list[dict] = []
+    spans: list[dict] = []
+    offset = 0
+
+    def ref(kind, text, media_ref=""):
+        nonlocal offset
+        ref_spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                          "offset": offset})
+        offset += 1
+        return offset - 1
+
+    def inp(kind, text, media_ref="", at=None):
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": offset if at is None else at})
+
+    corrupt = (lambda s: s) if family == "identity" else (lambda s: _corrupt(s, rng))
+
+    i = 0
+    while i < nseg:
+        t = ref_texts[i]
+        if family == "media" and rng.random() < 0.3:
+            mref = f"media://{doc_id}/{i}"
+            kind = "image" if rng.random() < 0.7 else "audio"
+            at = ref(kind, "", mref)
+            inp(kind, "", mref, at=at)
+            # media spans replace a text slot; keep the text too
+        if family == "merged" and i + 1 < nseg and rng.random() < 0.6:
+            k = min(int(rng.integers(2, 5)), nseg - i)
+            group = ref_texts[i : i + k]
+            ats = [ref("text", g) for g in group]
+            merged = corrupt(" ".join(group))
+            inp("text", merged, at=ats[0])
+            i += k
+            continue
+        if family == "html" and i + 1 < nseg and rng.random() < 0.7:
+            k = min(int(rng.integers(2, 5)), nseg - i)
+            group = [corrupt(g) for g in ref_texts[i : i + k]]
+            ats = [ref("html", g) for g in ref_texts[i : i + k]]
+            inp("html", _html_wrap(group, rng), at=ats[0])
+            i += k
+            continue
+        if family == "pdf" and i + 1 < nseg and rng.random() < 0.7:
+            k = min(int(rng.integers(2, 4)), nseg - i)
+            group = [corrupt(g) for g in ref_texts[i : i + k]]
+            ats = [ref("pdf", g) for g in ref_texts[i : i + k]]
+            inp("pdf", "\n\n".join(_wrap_pdf(g, rng) for g in group), at=ats[0])
+            i += k
+            continue
+        if family == "short" and rng.random() < 0.25:
+            ref("text", str(_WORDS[int(rng.integers(0, len(_WORDS)))])[:2] + ".")
+            # no input counterpart: legitimate unmatched (-1)
+            i += 0  # falls through to also emit the normal segment
+        if family == "empty" and rng.random() < 0.25:
+            inp("text", "   ", at=offset)  # whitespace-only: filtered out
+        at = ref("text", t)
+        inp("text", corrupt(t), at=at)
+        i += 1
+
+    if family == "media" and not any(s["media_ref"] for s in spans):
+        # guarantee at least one media marker per media-family doc
+        mref = f"media://{doc_id}/tail"
+        at = ref("image", "", mref)
+        inp("image", "", mref, at=at)
+
+    if family == "permuted":
+        # swap the text of 1-3 adjacent input span pairs (offsets untouched)
+        for _ in range(int(rng.integers(1, 4))):
+            if len(spans) < 2:
+                break
+            j = int(rng.integers(0, len(spans) - 1))
+            spans[j]["text"], spans[j + 1]["text"] = (
+                spans[j + 1]["text"], spans[j]["text"])
+
+    if family == "mixed":
+        # noised base plus a whitespace span and one short ref
+        inp("text", " \t ", at=offset)
+        ref("text", "N.")
+    return doc_id, spans, ref_spans
+
+
+def make_skewed_document(doc_index: int, seed: int, n_spans: int):
+    """One document with ``n_spans`` 1:1 noised segments (exercises the
+    salting path; content is globally unique per line so chunk-local
+    alignment equals whole-document alignment)."""
+    rng = np.random.default_rng(seed * 2_000_003 + doc_index)
+    doc_id = f"doc-skewed-{doc_index:06d}"
+    spans, ref_spans = [], []
+    for k in range(n_spans):
+        t = f"zeile {k:05d} " + _sentence(rng)
+        ref_spans.append({"kind": "text", "text": t, "media_ref": "", "offset": k})
+        spans.append({"kind": "text", "text": _corrupt(t, rng), "media_ref": "",
+                      "offset": k})
+    return doc_id, spans, ref_spans
+
+
+def generate_corpus(
+    num_docs: int = 100,
+    seed: int = 42,
+    families: tuple[str, ...] = FAMILIES,
+    skewed_spans: int = 0,
+) -> pa.Table:
+    """Deterministic fixture corpus as one Arrow table (CORPUS_SCHEMA)."""
+    doc_ids, all_spans, all_refs = [], [], []
+    for d in range(num_docs):
+        family = families[d % len(families)]
+        doc_id, spans, refs = make_document(d, family, seed=seed)
+        doc_ids.append(doc_id)
+        all_spans.append(spans)
+        all_refs.append(refs)
+    if skewed_spans:
+        doc_id, spans, refs = make_skewed_document(num_docs, seed, skewed_spans)
+        doc_ids.append(doc_id)
+        all_spans.append(spans)
+        all_refs.append(refs)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": all_spans, "ref_spans": all_refs},
+        schema=CORPUS_SCHEMA,
+    )
+
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?]) +")
+
+
+def corpus_from_documents(texts, doc_ids, seed: int = 42,
+                          families: tuple[str, ...] = FAMILIES) -> pa.Table:
+    """Derive an interleaved corpus from an existing documents table: each
+    source text is segmented into sentences (the ref segmentation), then
+    corrupted/restructured per fixture family — deterministic per doc_id."""
+    out_ids, all_spans, all_refs = [], [], []
+    for k, (text, did) in enumerate(zip(texts, doc_ids)):
+        rng = np.random.default_rng(seed * 3_000_017 + int(did))
+        family = families[k % len(families)]
+        segs = [s for s in _SENT_SPLIT.split(text) if s.strip()]
+        # word-salad documents have no sentence marks: chunk by words
+        if len(segs) <= 1:
+            words = text.split()
+            segs = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
+        segs = [s for s in segs if s.strip()]
+        if not segs:
+            continue
+        ref_spans, spans = [], []
+        i = 0
+        while i < len(segs):
+            if family in ("merged", "html", "pdf") and i + 1 < len(segs) and rng.random() < 0.6:
+                kmax = {"merged": 5, "html": 5, "pdf": 4}[family]
+                kk = min(int(rng.integers(2, kmax)), len(segs) - i)
+                group = segs[i : i + kk]
+                base = len(ref_spans)
+                kind = "text" if family == "merged" else family
+                for g in group:
+                    ref_spans.append({"kind": kind, "text": g, "media_ref": "",
+                                      "offset": len(ref_spans)})
+                noisy = [_corrupt(g, rng) for g in group]
+                if family == "merged":
+                    body = " ".join(noisy)
+                elif family == "html":
+                    body = _html_wrap(noisy, rng)
+                else:
+                    body = "\n\n".join(_wrap_pdf(g, rng) for g in noisy)
+                spans.append({"kind": kind, "text": body, "media_ref": "",
+                              "offset": base})
+                i += kk
+                continue
+            corrupt = (lambda s: s) if family == "identity" else (lambda s: _corrupt(s, rng))
+            ref_spans.append({"kind": "text", "text": segs[i], "media_ref": "",
+                              "offset": len(ref_spans)})
+            spans.append({"kind": "text", "text": corrupt(segs[i]), "media_ref": "",
+                          "offset": len(ref_spans) - 1})
+            i += 1
+        if family == "permuted" and len(spans) >= 2:
+            j = int(rng.integers(0, len(spans) - 1))
+            spans[j]["text"], spans[j + 1]["text"] = spans[j + 1]["text"], spans[j]["text"]
+        if family == "media":
+            mref = f"media://doc-{did}/0"
+            at = len(ref_spans)
+            ref_spans.append({"kind": "image", "text": "", "media_ref": mref,
+                              "offset": at})
+            spans.append({"kind": "image", "text": "", "media_ref": mref,
+                          "offset": at})
+        out_ids.append(f"doc-{did}")
+        all_spans.append(spans)
+        all_refs.append(ref_spans)
+    return pa.Table.from_pydict(
+        {"doc_id": out_ids, "spans": all_spans, "ref_spans": all_refs},
+        schema=CORPUS_SCHEMA,
+    )

@@ -74,9 +74,8 @@ def levenshtein_cdist(
         dist[lo:hi] = _cdist_block(a_mat[lo:hi], a_len[lo:hi], b_mat, b_len)
 
     denom = np.maximum(a_len[:, None], b_len[None, :])
-    sim = np.empty((n, m), dtype=np.float32)
-    np.divide(dist, denom, out=sim, where=denom > 0, casting="unsafe")
-    sim = np.where(denom > 0, 1.0 - sim, np.float32(1.0)).astype(np.float32)
+    frac = dist / np.maximum(denom, 1)
+    sim = np.where(denom > 0, 1.0 - frac, 1.0).astype(np.float32)
     if score_cutoff is not None and score_cutoff > 0:
         sim[sim < score_cutoff] = 0.0
     return sim

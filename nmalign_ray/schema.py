@@ -1,0 +1,97 @@
+"""Arrow schemas and engine configuration for the extraction pipeline.
+
+The logical data model per ``BASELINE.json:input_hint``: one table of
+interleaved text+media documents,
+
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+optionally paired (same table or a second table joined on ``doc_id``) with
+the reference segmentation ``ref_spans`` of the same span type.  This is
+the columnar, batched, streaming counterpart of the reference's in-memory
+string lists / PAGE-XML DOM (SURVEY §1.2; reference data model at
+``/root/reference/nmalign/lib/align.py:17,36-37`` and
+``/root/reference/nmalign/ocrd/cli.py:167-217``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .align.core import AlignConfig
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        ("ref_spans", pa.list_(SPAN_TYPE)),
+    ]
+)
+
+# two-table variant (exercises the per-doc pair join, reference O1
+# zip_input_files -- /root/reference/nmalign/ocrd/cli.py:48-108)
+INPUT_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+REF_SCHEMA = pa.schema([("doc_id", pa.string()), ("ref_spans", pa.list_(SPAN_TYPE))])
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        # per-doc metric columns (replace the reference's shared
+        # mp.Manager stats dict, ocrd/cli.py:110-118, via dataflow)
+        ("mean_score", pa.float64()),
+        ("matched", pa.int32()),
+        ("total", pa.int32()),
+        ("unmatched_ref_count", pa.int32()),
+    ]
+)
+
+TEXT_KINDS = ("text", "html", "pdf")
+MEDIA_KINDS = ("image", "audio", "video")
+
+# The reference test-suite's historical-orthography normalization map
+# (shape of /root/reference/tests/test_all.py:16-26), the engine default.
+DEFAULT_NORMALIZATION = {
+    "ſ": "s",
+    "aͤ": "ä",
+    "oͤ": "ö",
+    "uͤ": "ü",
+    "Aͤ": "Ä",
+    "Oͤ": "Ö",
+    "Uͤ": "Ü",
+    "⸗": "-",
+    " *\n": " ",
+}
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Job-level configuration (the JSON a ``ray job submit`` entrypoint takes)."""
+
+    align: AlignConfig = field(
+        default_factory=lambda: AlignConfig(
+            normalization=DEFAULT_NORMALIZATION, try_subseg=True
+        )
+    )
+    # skew handling: documents with more candidate segments than this are
+    # salted into contiguous (doc_id, salt) chunks before alignment and
+    # re-merged by offset afterwards (north rule; SURVEY §4.2)
+    salt_threshold: int = 256
+    # actor-pool sizing for the alignment stage
+    align_batch_size: int = 64
+    align_concurrency: int | tuple[int, int] = (2, 8)
+    # stateless-stage batch size
+    extract_batch_size: int = 512
+    # output partitioning: partition_id = hash(doc_id) % num_partitions
+    num_partitions: int = 16
