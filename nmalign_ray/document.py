@@ -62,6 +62,52 @@ def salt_chunks(n_cands: int, n_refs: int, threshold: int):
     return out
 
 
+def align_chunk(
+    ref_texts: list[str],
+    ref_offsets: list[int],
+    cand_kinds: list[str],
+    cand_texts: list[str],
+    config: AlignConfig,
+):
+    """Align one (salt-)chunk of candidates against its reference window.
+
+    The unit of work of the Ray aligner actor stage; also the inner loop
+    of ``process_document``.  Returns
+    ``(out_spans, matched, score_sum, unmatched_cands)``.
+    """
+    if not cand_texts or not ref_texts:
+        return [], 0, 0.0, len(cand_texts)
+    res, scores = match(ref_texts, cand_texts, config=config)
+    if config.try_subseg:
+        idx, beg, end = res
+    else:
+        idx = res
+        beg = end = np.full(len(ref_texts), -1, dtype=np.int64)
+    out = []
+    assigned = set()
+    matched = 0
+    score_sum = 0.0
+    for i in range(len(ref_texts)):
+        j = int(idx[i])
+        if j < 0:
+            continue
+        assigned.add(j)
+        text = cand_texts[j]
+        if beg[i] >= 0 and end[i] >= 0:
+            text = text[beg[i] : end[i]]
+        out.append(
+            {
+                "kind": cand_kinds[j],
+                "text": text,
+                "media_ref": "",
+                "offset": int(ref_offsets[i]),
+            }
+        )
+        matched += 1
+        score_sum += float(scores[i])
+    return out, matched, score_sum, len(cand_texts) - len(assigned)
+
+
 def process_document(
     spans: list[dict],
     ref_spans: list[dict],
@@ -102,37 +148,17 @@ def process_document(
     ):
         cands = candidates[c_lo:c_hi]
         ref_win = refs[r_lo:r_hi]
-        if not cands or not ref_win:
-            unmatched_cands += len(cands)
-            continue
-        l1 = [r["text"] for r in ref_win]
-        l2 = [c.text for c in cands]
-        res, scores = match(l1, l2, config=config)
-        if config.try_subseg:
-            idx, beg, end = res
-        else:
-            idx = res
-            beg = end = np.full(len(l1), -1, dtype=np.int64)
-        assigned = set()
-        for i in range(len(l1)):
-            j = int(idx[i])
-            if j < 0:
-                continue
-            assigned.add(j)
-            text = l2[j]
-            if beg[i] >= 0 and end[i] >= 0:
-                text = text[beg[i] : end[i]]
-            out.append(
-                {
-                    "kind": cands[j].kind,
-                    "text": text,
-                    "media_ref": "",
-                    "offset": ref_win[i]["offset"],
-                }
-            )
-            n_matched += 1
-            score_sum += float(scores[i])
-        unmatched_cands += len(l2) - len(assigned)
+        chunk_out, m, ssum, unmatched = align_chunk(
+            [r["text"] for r in ref_win],
+            [r["offset"] for r in ref_win],
+            [c.kind for c in cands],
+            [c.text for c in cands],
+            config,
+        )
+        out.extend(chunk_out)
+        n_matched += m
+        score_sum += ssum
+        unmatched_cands += unmatched
 
     out.sort(key=lambda s: s["offset"])
     metrics = {

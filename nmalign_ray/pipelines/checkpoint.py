@@ -1,0 +1,183 @@
+"""Checkpointed partitioned sink with per-partition lineage + resume.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics".  This generalizes the reference's page-granular
+idempotency (skip pages whose output file already exists,
+``/root/reference/nmalign/ocrd/cli.py:178-184``) to partition granularity:
+
+* every document belongs to a deterministic partition
+  ``pid = crc32(doc_id) % P`` (stable across runs and machines — NOT
+  Python's salted ``hash``);
+* the reassembly shuffle is keyed on ``pid`` (one hash shuffle total:
+  it co-locates all chunks of a document AND all documents of a
+  partition), and the per-group task reassembles its documents, writes
+  ``out_dir/part=<pid>/data.parquet`` ATOMICALLY (tmp + rename) and a
+  lineage record ``out_dir/_manifest/part-<pid>.json`` with row counts
+  and metrics;
+* on resume, completed partitions are read from the manifest and their
+  documents are filtered out right after the read — the heavy stages
+  never see them.
+
+A partition directory without its manifest entry is a torn write from a
+killed run; it is overwritten on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schema import EngineConfig, OUTPUT_SCHEMA
+from ..stages import AlignChunks, extract_and_salt
+from ..stages.reassemble import reassemble_group
+
+
+def doc_partition(doc_id: str, num_partitions: int) -> int:
+    return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                rec = json.load(f)
+            done.add(int(rec["pid"]))
+    return done
+
+
+def _filter_completed(batch: pa.Table, done: frozenset, num_partitions: int) -> pa.Table:
+    if not done:
+        return batch
+    keep = [
+        doc_partition(d, num_partitions) not in done
+        for d in batch["doc_id"].to_pylist()
+    ]
+    return batch.filter(pa.array(keep))
+
+
+def _add_pid(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pids = pa.array(
+        [doc_partition(d, num_partitions) for d in batch["doc_id"].to_pylist()],
+        type=pa.int32(),
+    )
+    return batch.append_column("pid", pids)
+
+
+def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
+    """Reassemble every document of one partition and write it atomically."""
+    pid = int(group["pid"][0].as_py())
+    # per-document reassembly within the partition group
+    by_doc: dict[str, list[int]] = {}
+    for k, did in enumerate(group["doc_id"].to_pylist()):
+        by_doc.setdefault(did, []).append(k)
+    docs = [
+        reassemble_group(group.take(idxs)) for _, idxs in sorted(by_doc.items())
+    ]
+    table = pa.concat_tables(docs) if docs else OUTPUT_SCHEMA.empty_table()
+
+    part_dir = os.path.join(out_dir, f"part={pid}")
+    tmp_dir = os.path.join(out_dir, "_tmp", f"part={pid}")
+    os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp_dir, part_dir)
+
+    matched = int(pa.compute.sum(table["matched"]).as_py() or 0)
+    total = int(pa.compute.sum(table["total"]).as_py() or 0)
+    manifest = {
+        "pid": pid,
+        "num_docs": table.num_rows,
+        "matched": matched,
+        "total": total,
+        "unmatched_ref_count": int(
+            pa.compute.sum(table["unmatched_ref_count"]).as_py() or 0
+        ),
+    }
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    mtmp = os.path.join(mdir, f".part-{pid}.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(mdir, f"part-{pid}.json"))
+
+    return pa.Table.from_pydict(
+        {k: [v] for k, v in manifest.items()},
+        schema=pa.schema(
+            [
+                ("pid", pa.int64()),
+                ("num_docs", pa.int64()),
+                ("matched", pa.int64()),
+                ("total", pa.int64()),
+                ("unmatched_ref_count", pa.int64()),
+            ]
+        ),
+    )
+
+
+def run_checkpointed(
+    corpus: ray.data.Dataset,
+    out_dir: str,
+    config: EngineConfig | None = None,
+) -> dict:
+    """Run the extraction pipeline with a checkpointed sink; returns a job
+    summary.  Safe to re-invoke after a crash: completed partitions are
+    skipped before the heavy stages."""
+    cfg = config if config is not None else EngineConfig()
+    done = frozenset(completed_partitions(out_dir))
+
+    ds = corpus.map_batches(
+        partial(_filter_completed, done=done, num_partitions=cfg.num_partitions),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+    chunks = ds.map_batches(
+        partial(extract_and_salt, salt_threshold=cfg.salt_threshold),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+    aligned = chunks.map_batches(
+        AlignChunks,
+        fn_constructor_kwargs={"config": cfg.align},
+        batch_format="pyarrow",
+        batch_size=cfg.align_batch_size,
+        concurrency=cfg.align_concurrency,
+        num_cpus=1,
+    ).map_batches(
+        partial(_add_pid, num_partitions=cfg.num_partitions),
+        batch_format="pyarrow",
+    )
+    summary = (
+        aligned.groupby("pid")
+        .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "partitions_written": int(summary.shape[0]),
+        "partitions_skipped": len(done),
+        "num_docs": int(summary["num_docs"].sum()) if len(summary) else 0,
+        "matched": int(summary["matched"].sum()) if len(summary) else 0,
+        "total": int(summary["total"].sum()) if len(summary) else 0,
+    }
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read every completed partition back as one table (small results /
+    tests; large outputs should be read with ray.data.read_parquet)."""
+    parts = []
+    for pid in sorted(completed_partitions(out_dir)):
+        path = os.path.join(out_dir, f"part={pid}", "data.parquet")
+        parts.append(pq.read_table(path))
+    return pa.concat_tables(parts) if parts else OUTPUT_SCHEMA.empty_table()

@@ -1,0 +1,117 @@
+"""The flagship extraction pipeline (SURVEY §3.4).
+
+    read corpus (parquet)                        [doc_id, spans, ref_spans]
+      -> map_batches(extract_and_salt)           stateless: parse cascade + skew salting
+      -> map_batches(AlignChunks, concurrency=N) actor pool: forced alignment per chunk
+      -> groupby(doc_id).map_groups(reassemble)  shuffle: offset-merge + metrics
+      -> OUTPUT_SCHEMA rows
+
+Never calls ``ray.init`` — the session is owned by the caller (driver,
+``bench.py``, test fixture).  The pipeline is lazy end to end; consume it
+with ``write_parquet`` / ``iter_batches`` / an aggregate, not
+``take_all``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import ray.data
+
+from ..schema import EngineConfig
+from ..stages import AlignChunks, extract_and_salt, reassemble_group
+
+
+def build_extract_pipeline(
+    ds: ray.data.Dataset,
+    config: EngineConfig | None = None,
+) -> ray.data.Dataset:
+    """Compose the extraction pipeline over a corpus Dataset
+    (``doc_id, spans, ref_spans``); returns the lazy output Dataset."""
+    cfg = config if config is not None else EngineConfig()
+    chunks = ds.map_batches(
+        partial(extract_and_salt, salt_threshold=cfg.salt_threshold),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+    aligned = chunks.map_batches(
+        AlignChunks,
+        fn_constructor_kwargs={"config": cfg.align},
+        batch_format="pyarrow",
+        batch_size=cfg.align_batch_size,
+        concurrency=cfg.align_concurrency,
+        num_cpus=1,
+    )
+    return aligned.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow"
+    )
+
+
+def read_corpus(path: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def join_refs(
+    inputs: ray.data.Dataset, refs: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Two-table form: equi-join input spans with the reference
+    segmentation on ``doc_id`` (the reference's per-page pair join O1,
+    ``/root/reference/nmalign/ocrd/cli.py:48-108`` — 1:1 cardinality).
+
+    ``Dataset.join`` delegates to Acero, which rejects list<struct>
+    payload columns, so this is the portable co-group hash join: tag each
+    side, union, and merge per ``doc_id`` group (ONE hash shuffle on the
+    join key).  Documents missing either side are dropped, mirroring
+    ``OCRD_MISSING_INPUT=SKIP`` (``ocrd/cli.py:101-107``).
+    """
+    import pyarrow as pa
+
+    from ..schema import CORPUS_SCHEMA
+
+    def tag_input(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "spans": batch["spans"],
+                "ref_spans": pa.array([None] * n, type=CORPUS_SCHEMA.field("ref_spans").type),
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "spans": pa.array([None] * n, type=CORPUS_SCHEMA.field("spans").type),
+                "ref_spans": batch["ref_spans"],
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        spans = None
+        ref_spans = None
+        for k in range(group.num_rows):
+            s = group["spans"][k].as_py()
+            r = group["ref_spans"][k].as_py()
+            if s is not None:
+                spans = s
+            if r is not None:
+                ref_spans = r
+        if spans is None or ref_spans is None:
+            return CORPUS_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [group["doc_id"][0].as_py()],
+                "spans": [spans],
+                "ref_spans": [ref_spans],
+            },
+            schema=CORPUS_SCHEMA,
+        )
+
+    tagged = inputs.map_batches(tag_input, batch_format="pyarrow").union(
+        refs.map_batches(tag_ref, batch_format="pyarrow")
+    )
+    return tagged.groupby("doc_id").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,89 @@
+"""Checkpointed sink: atomic partition writes, lineage manifest, resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from nmalign_ray.corpus import generate_corpus
+from nmalign_ray.document import oracle_table
+from nmalign_ray.pipelines.checkpoint import (
+    completed_partitions,
+    doc_partition,
+    read_output,
+    run_checkpointed,
+)
+from nmalign_ray.schema import EngineConfig
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(num_docs=24, seed=42)
+
+
+@pytest.fixture(scope="module")
+def config():
+    return EngineConfig(salt_threshold=64, num_partitions=4,
+                        align_batch_size=8, align_concurrency=2)
+
+
+def spans_key(table):
+    return {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for d, spans in zip(table["doc_id"].to_pylist(), table["spans"].to_pylist())
+    }
+
+
+class TestCheckpointedSink:
+    def test_partition_assignment_stable(self):
+        assert doc_partition("doc-x", 16) == doc_partition("doc-x", 16)
+        assert 0 <= doc_partition("anything", 7) < 7
+
+    def test_full_run_writes_all_partitions(self, ray_session, corpus, config, tmp_path):
+        out = str(tmp_path / "out")
+        ds = ray_session.data.from_arrow(corpus)
+        summary = run_checkpointed(ds, out, config)
+        assert summary["partitions_written"] == config.num_partitions
+        assert summary["num_docs"] == corpus.num_rows
+        assert completed_partitions(out) == set(range(config.num_partitions))
+        # manifest carries lineage metrics
+        rec = json.load(open(os.path.join(out, "_manifest", "part-0.json")))
+        assert {"pid", "num_docs", "matched", "total"} <= set(rec)
+
+    def test_output_matches_oracle(self, ray_session, corpus, config, tmp_path):
+        out = str(tmp_path / "out2")
+        run_checkpointed(ray_session.data.from_arrow(corpus), out, config)
+        got = spans_key(read_output(out))
+        want = spans_key(
+            oracle_table(corpus, config.align, salt_threshold=config.salt_threshold)
+        )
+        assert got == want
+
+    def test_resume_skips_completed_and_repairs_missing(
+        self, ray_session, corpus, config, tmp_path
+    ):
+        out = str(tmp_path / "out3")
+        ds = ray_session.data.from_arrow(corpus)
+        run_checkpointed(ds, out, config)
+        full = spans_key(read_output(out))
+
+        # simulate a torn run: partition 1 lost its manifest AND data,
+        # partition 2 has data but no manifest (torn write)
+        shutil.rmtree(os.path.join(out, "part=1"))
+        os.remove(os.path.join(out, "_manifest", "part-1.json"))
+        os.remove(os.path.join(out, "_manifest", "part-2.json"))
+
+        summary = run_checkpointed(ds, out, config)
+        assert summary["partitions_skipped"] == 2  # 0 and 3 still manifested
+        assert summary["partitions_written"] == 2  # 1 and 2 recomputed
+        assert completed_partitions(out) == set(range(config.num_partitions))
+        assert spans_key(read_output(out)) == full
+
+    def test_noop_when_all_complete(self, ray_session, corpus, config, tmp_path):
+        out = str(tmp_path / "out4")
+        ds = ray_session.data.from_arrow(corpus)
+        run_checkpointed(ds, out, config)
+        summary = run_checkpointed(ds, out, config)
+        assert summary["partitions_written"] == 0
+        assert summary["partitions_skipped"] == config.num_partitions
