@@ -1,44 +1,194 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the nmalign_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship extraction pipeline on sf0.001.
+* ``queries()`` — one callable per implemented operator (SURVEY §2 +
+  the training-data operator suite); each takes ``sf_dir``.
+* ``oracle_sql()`` — exact DuckDB twin for every SQL-expressible query
+  (same column names); alignment / sketch / ANN operators are
+  non-SQL-expressible and get rows-only checks.
+
+The interleaved corpus required by the alignment queries does not exist
+in the test data, so it is DERIVED deterministically from the
+``documents`` table (sentence segmentation -> per-family corruption,
+seeded per doc_id — see ``nmalign_ray.corpus.corpus_from_documents``)
+and cached as parquet under /tmp per scale factor.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CACHE_ROOT = "/tmp/nmalign_ray_cache"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def derived_corpus(sf_dir: str):
+    """Interleaved corpus derived from the documents table; generated
+    distributed (map_batches) and cached as parquet per sf_dir."""
+    import ray.data
+
+    from nmalign_ray.corpus import corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = os.path.join(_CACHE_ROOT, tag, "corpus")
+    marker = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return corpus_from_documents(
+                batch["text"].to_pylist(), batch["doc_id"].to_pylist()
+            )
+
+        tmp = cache + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(cache, ignore_errors=True)
+        docs.map_batches(gen, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, cache)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ray.data.read_parquet(
+        [os.path.join(cache, f) for f in sorted(os.listdir(cache))
+         if f.endswith(".parquet")]
+    )
+
+
+def _flagship(sf_dir: str):
+    from nmalign_ray.pipelines import build_extract_pipeline
+    from nmalign_ray.schema import EngineConfig
+
+    return build_extract_pipeline(derived_corpus(sf_dir), EngineConfig())
+
+
+def _explode_output(out_ds):
+    """Flatten (doc_id, spans) to judged rows (doc_id, order, kind, text,
+    media_ref) — the reference CLI's projection C3
+    (/root/reference/nmalign/scripts/cli.py:93-122) in columnar form."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": []}
+        for did, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            for s in spans:
+                rows["doc_id"].append(did)
+                rows["order"].append(s["offset"])
+                rows["kind"].append(s["kind"])
+                rows["text"].append(s["text"])
+                rows["media_ref"].append(s["media_ref"])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "order": pa.array(rows["order"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+            }
+        )
+
+    return out_ds.map_batches(explode, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive the interleaved
+    corpus, extract + force-align, return exploded span rows."""
+    return _explode_output(_flagship("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
+    from nmalign_ray.functions.textstats import round6
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_align(sf_dir):
+        return _explode_output(_flagship(sf_dir))
+
+    def align_metrics(sf_dir):
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"],
+                    "mean_score": pa.array(
+                        round6(batch["mean_score"].to_numpy(zero_copy_only=False)),
+                        pa.float64(),
+                    ),
+                    "matched": batch["matched"],
+                    "total": batch["total"],
+                    "unmatched_ref_count": batch["unmatched_ref_count"],
+                }
+            )
+
+        return _flagship(sf_dir).map_batches(project, batch_format="pyarrow")
+
+    return {
+        # --- alignment / extraction (non-SQL; rows-only checks) ---
+        "extract_align": extract_align,
+        "align_metrics": align_metrics,
+        # --- text analysis (SQL-verified) ---
+        "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents")),
+        "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents")),
+        "quality_scores": lambda sf: textstats.quality_scores(_read(sf, "documents")),
+        "lang_id": lambda sf: textstats.lang_id(_read(sf, "documents")),
+        "fingerprints": lambda sf: textstats.fingerprints(_read(sf, "documents")),
+        # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
+        "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents")),
+        "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents")),
+        "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents")),
+        # --- similarity search (brute SQL-verified; ANN rows-only) ---
+        "knn_brute": lambda sf: simsearch.knn_brute(_read(sf, "embeddings")),
+        "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings")),
+        "embedding_near_dups": lambda sf: simsearch.embedding_near_dups(
+            _read(sf, "embeddings")
+        ),
+        # --- relational coverage (SQL-verified) ---
+        "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem")),
+        "segment_revenue": lambda sf: relational.segment_revenue(
+            _read(sf, "orders"), _read(sf, "customer")
+        ),
+        "inactive_customers": lambda sf: relational.inactive_customers(
+            _read(sf, "customer"), _read(sf, "orders")
+        ),
+        "top_orders": lambda sf: relational.top_orders(_read(sf, "orders")),
+        "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events")),
+        # --- multimodal plumbing (rows-only; decode stubbed) ---
+        "media_features": lambda sf: media.decode_features(
+            __import__("ray").data.from_arrow(media.synth_media_table())
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nmalign_ray.functions import dedup, relational, simsearch, textstats
+
+    return {
+        "normalize_docs": textstats.NORMALIZE_SQL,
+        "token_counts": textstats.TOKEN_COUNT_SQL,
+        "quality_scores": textstats.QUALITY_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "fingerprints": textstats.FINGERPRINT_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "jaccard_sample": dedup.JACCARD_SAMPLE_SQL,
+        "knn_brute": simsearch.KNN_BRUTE_SQL,
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "segment_revenue": relational.SEGMENT_REVENUE_SQL,
+        "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "hourly_events": relational.HOURLY_EVENTS_SQL,
+    }

@@ -1,0 +1,134 @@
+"""Benchmark harness.
+
+Runs the headline extraction pipeline (derive corpus -> extract ->
+align -> reassemble -> checkpointed parquet sink) plus a set of operator
+benchmarks over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+prints ONE JSON line.
+
+    python bench.py                 # full bench at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # headline at 8 and 32 CPUs in fresh
+                                    # processes + scaling efficiency
+
+The corpus derivation is cached and warmed untimed, so timings measure
+compute + shuffle, not first-touch disk reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entry
+    from nmalign_ray.pipelines.checkpoint import run_checkpointed
+    from nmalign_ray.schema import EngineConfig
+
+    # untimed: derive + cache the corpus, warm the page cache
+    corpus = entry.derived_corpus(SF_DIR)
+    n_docs = corpus.count()
+
+    out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(num_partitions=max(16, NUM_CPUS))
+    t0 = time.perf_counter()
+    run_checkpointed(entry.derived_corpus(SF_DIR), out_dir, cfg)
+    headline = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries = {"extract_align_checkpointed": round(headline, 3)}
+    q = entry.queries()
+    for name in (
+        "token_counts",
+        "quality_scores",
+        "lang_id",
+        "fingerprints",
+        "exact_dedup",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "knn_brute",
+        "knn_lsh",
+        "pricing_summary",
+        "segment_revenue",
+        "top_orders",
+        "hourly_events",
+    ):
+        t0 = time.perf_counter()
+        result = q[name](SF_DIR)
+        # force execution of lazy datasets
+        if hasattr(result, "count"):
+            result.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    out = {
+        "metric": "extract_align e2e wall (read->extract->align->reassemble->checkpointed sink)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "num_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["docs_per_sec"]
+    tp_hi = r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N -> 4N cpus, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "sf": r_lo["sf"],
+        "num_docs": r_lo["num_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

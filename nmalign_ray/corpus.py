@@ -256,9 +256,11 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
     source text is segmented into sentences (the ref segmentation), then
     corrupted/restructured per fixture family — deterministic per doc_id."""
     out_ids, all_spans, all_refs = [], [], []
-    for k, (text, did) in enumerate(zip(texts, doc_ids)):
+    for text, did in zip(texts, doc_ids):
         rng = np.random.default_rng(seed * 3_000_017 + int(did))
-        family = families[k % len(families)]
+        # family keyed on doc_id (NOT list position) so generation is
+        # invariant to batch boundaries when distributed via map_batches
+        family = families[int(did) % len(families)]
         segs = [s for s in _SENT_SPLIT.split(text) if s.strip()]
         # word-salad documents have no sentence marks: chunk by words
         if len(segs) <= 1:

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: decode / feature-extract stages (decode stubbed).
+
+Treats image/audio payloads as opaque ``binary`` columns with typed
+metadata, processed by an actor-pool ``map_batches`` stage — the real
+Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+with the codec itself behind a clearly marked seam: no image/audio
+libraries exist in this container, so ``DecodeStub`` produces a
+deterministic fake decode (shape + checksum derived from the bytes) and
+raises ``NotImplementedError`` in ``strict`` mode where a real codec
+would plug in.
+
+Sizing note (SURVEY §4.2 / guide): binary payload rows are FAT — this
+stage must run with a SMALL ``batch_size`` (default 16) and row-based
+batching so one batch x pool concurrency stays inside a worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),  # "image" | "audio"
+        ("payload", pa.binary()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("checksum", pa.string()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic fake media payloads (for plumbing tests/benchmarks)."""
+    rng = np.random.default_rng(seed)
+    refs, kinds, payloads = [], [], []
+    for i in range(n):
+        kind = "image" if i % 2 == 0 else "audio"
+        size = int(rng.integers(256, 4096))
+        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+        refs.append(f"media://synth/{i}")
+        kinds.append(kind)
+    return pa.Table.from_pydict(
+        {"media_ref": refs, "kind": kinds, "payload": payloads},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DecodeStub:
+    """Actor-pool decode/feature stage.
+
+    ``__init__`` is where a real implementation loads codecs / models once
+    per actor; ``__call__`` decodes and featurizes a batch.  ``strict=True``
+    raises ``NotImplementedError`` at the decode seam instead of faking —
+    that is the line a real deployment replaces.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _decode(self, payload: bytes, kind: str):
+        if self.strict:
+            raise NotImplementedError(
+                "real image/audio codecs are not available in this environment; "
+                "plug a decoder in here (e.g. PIL.Image.open / soundfile.read)"
+            )
+        # deterministic fake: dimensions + features derived from content
+        digest = hashlib.blake2b(payload, digest_size=16).digest()
+        w = 16 + digest[0]
+        h = 16 + digest[1]
+        feat = (
+            np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        )
+        return w, h, digest.hex(), feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in FEATURE_SCHEMA.names}
+        for ref, kind, payload in zip(
+            batch["media_ref"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            w, h, checksum, feat = self._decode(payload, kind)
+            rows["media_ref"].append(ref)
+            rows["kind"].append(kind)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["checksum"].append(checksum)
+            rows["feature"].append(feat.tolist())
+        return pa.Table.from_pydict(rows, schema=FEATURE_SCHEMA)
+
+
+def decode_features(
+    media: ray.data.Dataset,
+    batch_size: int = 16,
+    concurrency=2,
+) -> ray.data.Dataset:
+    """The media decode pipeline stage: small batches (fat binary rows),
+    actor pool for per-actor codec state."""
+    return media.map_batches(
+        DecodeStub,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,99 @@
+"""Functional tests for the training-data operators on planted inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nmalign_ray.functions import dedup, media, simsearch
+
+
+def docs_table(texts):
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+class TestMinhash:
+    def test_planted_near_dups_found(self, ray_session):
+        texts = [
+            BASE,
+            BASE.replace("lazy", "sleepy"),  # near-dup of 0
+            "completely different content about database query engines and shuffles",
+            BASE.replace("garden", "yard").replace("warm", "cold"),  # near-dup of 0
+            "another unrelated line of text mentioning vectors and embeddings only",
+        ]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        pairs = dedup.minhash_near_dups(ds, threshold=0.5).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 1) in found and (0, 3) in found
+        assert not any(2 in p or 4 in p for p in found)
+        assert ((pairs.jaccard >= 0.5) & (pairs.jaccard <= 1.0)).all()
+
+    def test_signature_deterministic(self):
+        s1 = dedup.minhash_signature(dedup.shingle_set(BASE))
+        s2 = dedup.minhash_signature(dedup.shingle_set(BASE))
+        assert np.array_equal(s1, s2)
+
+    def test_exact_duplicates_collapse(self, ray_session):
+        ds = ray_session.data.from_arrow(docs_table([BASE, BASE, "  " + BASE.upper()]))
+        out = dedup.exact_dedup(ds).to_pandas()
+        # normalization (lower+trim+collapse) folds all three into one group
+        assert len(out) == 1
+        assert out.iloc[0]["keep_doc_id"] == 0
+        assert out.iloc[0]["dup_count"] == 3
+
+
+class TestSimhash:
+    def test_identical_docs_zero_hamming(self, ray_session):
+        ds = ray_session.data.from_arrow(docs_table([BASE, BASE, "other words"]))
+        pairs = dedup.simhash_near_dups(ds).to_pandas()
+        assert ((pairs.doc_a == 0) & (pairs.doc_b == 1) & (pairs.hamming == 0)).any()
+
+    def test_signature_is_stable_int64(self):
+        a = dedup.simhash_signature(BASE)
+        b = dedup.simhash_signature(BASE)
+        assert a == b and 0 <= a < (1 << 64)
+
+
+class TestEmbeddingNearDups:
+    def test_planted_duplicate_vector(self, ray_session):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((20, 16)).astype(np.float32)
+        vecs[7] = vecs[3] + 1e-4  # near-identical pair
+        tbl = pa.Table.from_pydict(
+            {"vec_id": pa.array(range(20), pa.int64()),
+             "embedding": pa.array([v.tolist() for v in vecs],
+                                    pa.list_(pa.float32()))}
+        )
+        ds = ray_session.data.from_arrow(tbl)
+        pairs = simsearch.embedding_near_dups(ds, threshold=0.999).to_pandas()
+        assert {(3, 7)} == set(zip(pairs.vec_a, pairs.vec_b))
+
+
+class TestMediaPlumbing:
+    def test_decode_stub_pipeline(self, ray_session):
+        tbl = media.synth_media_table(n=10)
+        out = media.decode_features(
+            ray_session.data.from_arrow(tbl), batch_size=4, concurrency=2
+        ).to_pandas()
+        assert len(out) == 10
+        assert set(out.columns) == set(media.FEATURE_SCHEMA.names)
+        assert out["feature"].map(len).eq(16).all()
+        # deterministic across runs
+        again = media.decode_features(
+            ray_session.data.from_arrow(tbl), batch_size=4, concurrency=2
+        ).to_pandas()
+        assert out.sort_values("media_ref").checksum.tolist() == \
+            again.sort_values("media_ref").checksum.tolist()
+
+    def test_strict_mode_marks_the_seam(self):
+        stub = media.DecodeStub(strict=True)
+        with pytest.raises(NotImplementedError):
+            stub._decode(b"bytes", "image")

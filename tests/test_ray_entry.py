@@ -1,0 +1,103 @@
+"""Replicates the driver's correctness gate: every queries() entry runs at
+sf0.001, and each SQL-verified one must match its DuckDB oracle on
+row-count + columns + order-insensitive values."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def to_pandas(result):
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+SQL_VERIFIED = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_VERIFIED))
+
+
+class TestSqlVerified:
+    @pytest.mark.parametrize("name", SQL_VERIFIED)
+    def test_matches_oracle(self, name, ray_session, con):
+        mine = canon(to_pandas(entrymod.queries()[name](SF_DIR)))
+        want = canon(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+        assert list(mine.columns) == list(want.columns), (
+            f"{name}: column mismatch {list(mine.columns)} vs {list(want.columns)}"
+        )
+        assert len(mine) == len(want), f"{name}: row count {len(mine)} vs {len(want)}"
+        pd.testing.assert_frame_equal(mine, want, check_dtype=False, atol=0, rtol=0)
+
+
+class TestRowsOnly:
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_runs_with_stable_schema(self, name, ray_session):
+        result = to_pandas(entrymod.queries()[name](SF_DIR))
+        assert len(result) >= 0
+        again = to_pandas(entrymod.queries()[name](SF_DIR))
+        assert list(result.columns) == list(again.columns)
+
+
+class TestEntry:
+    def test_entry_runs(self, ray_session):
+        out = to_pandas(entrymod.entry())
+        assert len(out) > 0
+        assert list(out.columns) == ["doc_id", "order", "kind", "text", "media_ref"]
+
+    def test_extract_align_deterministic(self, ray_session):
+        q = entrymod.queries()["extract_align"]
+        a = canon(to_pandas(q(SF_DIR)))
+        b = canon(to_pandas(q(SF_DIR)))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestAnnQuality:
+    def test_lsh_recall_against_brute(self, ray_session):
+        from nmalign_ray.functions import simsearch
+
+        brute = to_pandas(entrymod.queries()["knn_brute"](SF_DIR))
+        lsh = to_pandas(entrymod.queries()["knn_lsh"](SF_DIR))
+        got = set(zip(lsh.q_id, lsh.vec_id))
+        want = set(zip(brute.q_id, brute.vec_id))
+        recall = len(got & want) / len(want)
+        assert recall >= 0.3, f"ANN recall collapsed: {recall}"
