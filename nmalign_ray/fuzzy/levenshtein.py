@@ -62,16 +62,35 @@ def levenshtein_cdist(
     if processor is not None:
         l1 = [processor(s) for s in l1]
         l2 = [processor(s) for s in l2]
-    a_mat, a_len = pad_matrix(encode_list(l1), PAD_A)
+    enc1 = encode_list(l1)
+    a_mat, a_len = pad_matrix(enc1, PAD_A)
     b_mat, b_len = pad_matrix(encode_list(l2), PAD_B)
     n, m = len(l1), len(l2)
     l2max = b_mat.shape[1]
 
-    rows_per_chunk = max(1, _MAX_CELLS // max(1, m * l2max))
     dist = np.empty((n, m), dtype=np.int64)
-    for lo in range(0, n, rows_per_chunk):
-        hi = min(n, lo + rows_per_chunk)
-        dist[lo:hi] = _cdist_block(a_mat[lo:hi], a_len[lo:hi], b_mat, b_len)
+    # Myers bit-parallel fast path for needles that fit one machine word —
+    # but only when the pair count amortizes its per-step setup (measured
+    # crossover ~128 pairs; below that the padded row-DP's fewer, larger
+    # numpy ops win).  Long rows (>63 chars) always take the row-DP.
+    myers_rows = np.flatnonzero((a_len >= 1) & (a_len <= 63))
+    if len(myers_rows) * m < 128:
+        myers_rows = myers_rows[:0]
+        other_rows = np.flatnonzero(a_len > 0)
+    else:
+        other_rows = np.flatnonzero(a_len > 63)
+    empty_rows = np.flatnonzero(a_len == 0)
+    if len(myers_rows):
+        dist[myers_rows] = _cdist_myers(
+            [enc1[i] for i in myers_rows], b_mat, b_len
+        )
+    if len(empty_rows):
+        dist[empty_rows] = np.broadcast_to(b_len, (len(empty_rows), m))
+    if len(other_rows):
+        rows_per_chunk = max(1, _MAX_CELLS // max(1, m * l2max))
+        for lo in range(0, len(other_rows), rows_per_chunk):
+            sel = other_rows[lo : lo + rows_per_chunk]
+            dist[sel] = _cdist_block(a_mat[sel], a_len[sel], b_mat, b_len)
 
     denom = np.maximum(a_len[:, None], b_len[None, :])
     frac = dist / np.maximum(denom, 1)
@@ -79,6 +98,65 @@ def levenshtein_cdist(
     if score_cutoff is not None and score_cutoff > 0:
         sim[sim < score_cutoff] = 0.0
     return sim
+
+
+def _cdist_myers(
+    needles: list[np.ndarray], b_mat: np.ndarray, b_len: np.ndarray
+) -> np.ndarray:
+    """Myers' bit-vector edit distance (1999), vectorized across ALL
+    (needle, haystack) pairs at once: the per-pair word state advances
+    lock-step over haystack positions; each step is ~a dozen uint64 ops
+    on (N, M) arrays.  Exact for needle lengths 1..63 (verified against
+    the brute-force DP in tests)."""
+    n = len(needles)
+    m, l2max = b_mat.shape
+    ones = np.uint64(1)
+
+    # encode the haystack alphabet: distinct codepoints -> column index;
+    # anything else (incl. padding) -> the zero column
+    uniq, inv = np.unique(b_mat, return_inverse=True)
+    char_col = {int(c): k + 1 for k, c in enumerate(uniq.tolist())}
+    k = len(uniq) + 1
+    idx_mat = (inv.reshape(m, l2max) + 1).astype(np.int64)
+
+    peq = np.zeros((n, k), dtype=np.uint64)
+    full = np.empty((n, 1), dtype=np.uint64)
+    high = np.empty((n, 1), dtype=np.uint64)
+    mlen = np.empty((n, 1), dtype=np.int64)
+    for i, nd in enumerate(needles):
+        li = len(nd)
+        full[i, 0] = (1 << li) - 1
+        high[i, 0] = 1 << (li - 1)
+        mlen[i, 0] = li
+        row = peq[i]
+        for pos, c in enumerate(nd.tolist()):
+            col = char_col.get(int(c))
+            if col is not None:
+                row[col] |= np.uint64(1 << pos)
+
+    pv = np.broadcast_to(full, (n, m)).copy()
+    mv = np.zeros((n, m), dtype=np.uint64)
+    score = np.broadcast_to(mlen, (n, m)).copy()
+    out = np.empty((n, m), dtype=np.int64)
+    done0 = b_len == 0
+    if done0.any():
+        out[:, done0] = mlen
+    for t in range(l2max):
+        eq = peq[:, idx_mat[:, t]]  # (n, m) gather
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score += ((ph & high) != 0).astype(np.int64)
+        score -= ((mh & high) != 0).astype(np.int64)
+        ph = ((ph << ones) | ones) & full
+        mh = (mh << ones) & full
+        pv = (mh | ~(xv | ph)) & full
+        mv = ph & xv
+        finished = b_len == t + 1
+        if finished.any():
+            out[:, finished] = score[:, finished]
+    return out
 
 
 def _cdist_block(

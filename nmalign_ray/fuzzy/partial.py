@@ -128,11 +128,15 @@ def _search(shorter: str, longer: str) -> ScoreAlignment:
     if not starts:
         return ScoreAlignment(0.0, 0, l1, 0, l1)
 
-    ratios = indel_ratio_windows(
-        needle, hay, np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
-    )
-    ratios = np.where(np.asarray(ok), ratios, -1.0)
+    # drop char-set-skipped windows BEFORE the DP — they are never
+    # considered, so computing their scores is pure waste
+    keep = np.asarray(ok)
+    starts_a = np.asarray(starts, dtype=np.int64)[keep]
+    ends_a = np.asarray(ends, dtype=np.int64)[keep]
+    if not len(starts_a):
+        return ScoreAlignment(0.0, 0, l1, 0, l1)
+    ratios = indel_ratio_windows(needle, hay, starts_a, ends_a)
     best = int(np.argmax(ratios))  # first occurrence of max == first strict improvement
     if ratios[best] <= 0.0:
         return ScoreAlignment(0.0, 0, l1, 0, l1)
-    return ScoreAlignment(float(ratios[best]), 0, l1, starts[best], ends[best])
+    return ScoreAlignment(float(ratios[best]), 0, l1, int(starts_a[best]), int(ends_a[best]))

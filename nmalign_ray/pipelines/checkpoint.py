@@ -36,6 +36,7 @@ import ray.data
 
 from ..schema import EngineConfig, OUTPUT_SCHEMA
 from ..stages import AlignChunks, extract_and_salt
+from .extract import resolve_concurrency
 from ..stages.reassemble import reassemble_group
 
 
@@ -153,14 +154,14 @@ def run_checkpointed(
         fn_constructor_kwargs={"config": cfg.align},
         batch_format="pyarrow",
         batch_size=cfg.align_batch_size,
-        concurrency=cfg.align_concurrency,
+        concurrency=resolve_concurrency(cfg),
         num_cpus=1,
     ).map_batches(
         partial(_add_pid, num_partitions=cfg.num_partitions),
         batch_format="pyarrow",
     )
     summary = (
-        aligned.groupby("pid")
+        aligned.groupby("pid", num_partitions=cfg.num_partitions)
         .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")
         .to_pandas()
     )

@@ -22,6 +22,20 @@ from ..schema import EngineConfig
 from ..stages import AlignChunks, extract_and_salt, reassemble_group
 
 
+def resolve_concurrency(cfg: EngineConfig):
+    """Aligner pool size: explicit config wins; otherwise (cpus//4, cpus-2)
+    of the current session — a warm floor plus headroom for the read /
+    shuffle / sink stages."""
+    if cfg.align_concurrency is not None:
+        return cfg.align_concurrency
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (max(1, cpus // 4), max(2, cpus - 2))
+
+
 def build_extract_pipeline(
     ds: ray.data.Dataset,
     config: EngineConfig | None = None,
@@ -39,10 +53,13 @@ def build_extract_pipeline(
         fn_constructor_kwargs={"config": cfg.align},
         batch_format="pyarrow",
         batch_size=cfg.align_batch_size,
-        concurrency=cfg.align_concurrency,
+        concurrency=resolve_concurrency(cfg),
         num_cpus=1,
     )
-    return aligned.groupby("doc_id").map_groups(
+    # explicit partition count: the default creates hundreds of tiny
+    # shuffle partitions whose scheduling overhead dwarfs the actual
+    # reassembly work (measured 16s wall for <1s compute at sf0.1)
+    return aligned.groupby("doc_id", num_partitions=cfg.num_partitions).map_groups(
         reassemble_group, batch_format="pyarrow"
     )
 

@@ -1,0 +1,84 @@
+"""CLI and job entrypoint tests (mirroring the reference's CLI surface)."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from nmalign_ray.corpus import generate_corpus
+
+REPO = "/root/repo"
+
+
+def run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "nmalign_ray.cli", *argv],
+        capture_output=True, text=True, cwd=REPO,
+    )
+
+
+class TestCli:
+    def test_index_mode(self):
+        r = run_cli("--strings1", "hello world", "goodbye moon",
+                    "--strings2", "goodbye moon", "hello world")
+        assert r.returncode == 0
+        lines = r.stdout.strip().splitlines()
+        assert lines[0].split("\t")[:2] == ["0", "1"]
+        assert lines[1].split("\t")[:2] == ["1", "0"]
+        assert "coverage of matching inputs1: 100%" in r.stderr
+
+    def test_show_strings_with_splits(self):
+        merged = "hello wonderful w0rld pack my b0x with junk"
+        r = run_cli("--strings1", "hello wonderful world", "pack my box with junk",
+                    "--strings2", merged, "-x", "-s")
+        assert r.returncode == 0
+        lines = r.stdout.strip().splitlines()
+        assert len(lines) == 2
+        # split rows carry beg/end columns and slice the raw string
+        assert len(lines[0].split("\t")) == 5
+
+    def test_normalization_option(self):
+        r = run_cli("--strings1", "sind", "--strings2", "ſind",
+                    "-N", json.dumps({"ſ": "s"}))
+        assert r.returncode == 0
+        assert r.stdout.strip().split("\t")[2] == "1.00"
+
+    def test_cutoff_unmatched_in_index_mode(self):
+        r = run_cli("--strings1", "aaaa bbbb", "zzzz",
+                    "--strings2", "aaaa bbbb", "-c", "0.5")
+        rows = [l.split("\t") for l in r.stdout.strip().splitlines()]
+        assert ["1", "-1"] == rows[1][:2]
+
+    def test_files_mode(self, tmp_path):
+        f1 = tmp_path / "a.txt"; f1.write_text("erste zeile")
+        f2 = tmp_path / "b.txt"; f2.write_text("erste zeile")
+        r = run_cli("--files1", str(f1), "--files2", str(f2), "-f")
+        assert r.returncode == 0
+        assert r.stdout.strip().split("\t")[:2] == [str(f1), str(f2)]
+
+    def test_show_files_requires_files(self):
+        r = run_cli("--strings1", "a", "--strings2", "a", "-f")
+        assert r.returncode == 2
+
+
+class TestExtractJob:
+    def test_job_entrypoint_end_to_end(self, tmp_path):
+        corpus = generate_corpus(num_docs=10, seed=42)
+        inp = tmp_path / "corpus.parquet"
+        pq.write_table(corpus, inp)
+        cfgfile = tmp_path / "job.json"
+        cfgfile.write_text(json.dumps({"num_partitions": 4, "allow_splits": True}))
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [sys.executable, "-m", "nmalign_ray.jobs.extract_job",
+             "--input", str(inp), "--output", str(out), "--config", str(cfgfile)],
+            capture_output=True, text=True, cwd=REPO,
+            env={"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin",
+                 "HOME": "/root", "PYTHONPATH": REPO},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        assert summary["num_docs"] == 10
+        assert (out / "_manifest").is_dir()
