@@ -136,10 +136,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _flagship(sf_dir).map_batches(project, batch_format="pyarrow")
 
+    def rollup_text(sf_dir):
+        from nmalign_ray.stages import rollup_documents
+
+        return rollup_documents(_flagship(sf_dir))
+
     return {
         # --- alignment / extraction (non-SQL; rows-only checks) ---
         "extract_align": extract_align,
         "align_metrics": align_metrics,
+        "rollup_text": rollup_text,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents")),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents")),

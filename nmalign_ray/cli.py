@@ -77,7 +77,17 @@ def main(argv=None) -> int:
     if args.show_files and (files1 is None or files2 is None):
         print("--show-files requires file inputs on both sides", file=sys.stderr)
         return 2
-    normalization = json.loads(args.normalization) if args.normalization else None
+    normalization = None
+    if args.normalization:
+        try:
+            normalization = json.loads(args.normalization)
+        except json.JSONDecodeError as exc:
+            print(f"--normalization is not valid JSON: {exc}", file=sys.stderr)
+            return 2
+        if not isinstance(normalization, dict):
+            print("--normalization must be a JSON object of "
+                  "pattern -> replacement", file=sys.stderr)
+            return 2
 
     res, dst = match(
         l1, l2,

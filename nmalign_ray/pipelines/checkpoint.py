@@ -159,7 +159,7 @@ def run_checkpointed(
     ).map_batches(
         partial(_add_pid, num_partitions=cfg.num_partitions),
         batch_format="pyarrow",
-    )
+    ).repartition(cfg.num_partitions)
     summary = (
         aligned.groupby("pid", num_partitions=cfg.num_partitions)
         .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")

@@ -14,6 +14,7 @@ All stages are Arrow-in / Arrow-out (``batch_format="pyarrow"``).
 from .extract_stage import CHUNK_SCHEMA, extract_and_salt
 from .aligner import ALIGNED_SCHEMA, AlignChunks
 from .reassemble import reassemble_group
+from .rollup import ROLLUP_SCHEMA, rollup_batch, rollup_documents, rollup_spans
 
 __all__ = [
     "CHUNK_SCHEMA",
@@ -21,4 +22,8 @@ __all__ = [
     "extract_and_salt",
     "AlignChunks",
     "reassemble_group",
+    "ROLLUP_SCHEMA",
+    "rollup_batch",
+    "rollup_documents",
+    "rollup_spans",
 ]

@@ -173,3 +173,26 @@ class TestOracleTable:
         full = g[~fams.isin(["short", "mixed", "merged"])]
         cov = full.matched / full.total.clip(lower=1)
         assert (cov >= 0.95).all()
+
+
+class TestRollup:
+    def test_rollup_joins_in_order_with_media_markers(self):
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [
+            {"kind": "text", "text": "erste zeile", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "media://x/1", "offset": 1},
+            {"kind": "html", "text": "zweite zeile", "media_ref": "", "offset": 2},
+        ]
+        assert rollup_spans(spans) == "erste zeile\n[image:media://x/1]\nzweite zeile"
+
+    def test_rollup_batch_schema(self):
+        from nmalign_ray.stages.rollup import ROLLUP_SCHEMA, rollup_batch
+        from nmalign_ray.document import oracle_table
+        from nmalign_ray.corpus import generate_corpus
+
+        golden = oracle_table(generate_corpus(6, seed=42), CFG)
+        out = rollup_batch(golden)
+        assert out.schema.equals(ROLLUP_SCHEMA)
+        assert out.num_rows == golden.num_rows
+        assert all("\n" in t or len(t) >= 0 for t in out["text"].to_pylist())

@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the alignment core — SURVEY §5.2.4.
+
+Invariants: without splits the result is a partial injective map into l2;
+scores live in [0, 1]; determinism; splits produce well-formed slices.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from nmalign_ray.align import match
+
+line = st.text(
+    alphabet=st.sampled_from("abcdefg ſäö .,"), min_size=1, max_size=40
+).filter(lambda s: s.strip())
+lines = st.lists(line, min_size=1, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(l1=lines, l2=lines)
+def test_partial_injective_without_splits(l1, l2):
+    res, scores = match(l1, l2)
+    assigned = res[res >= 0]
+    # injective: no l2 segment consumed twice
+    assert len(set(assigned.tolist())) == len(assigned)
+    assert ((res >= -1) & (res < len(l2))).all()
+    assert ((scores >= 0.0) & (scores <= 1.0)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(l1=lines, l2=lines)
+def test_splits_produce_wellformed_slices(l1, l2):
+    res, scores = match(l1, l2, try_subseg=True)
+    idx, beg, end = res
+    for i in range(len(l1)):
+        if idx[i] < 0:
+            assert beg[i] == -1 and end[i] == -1
+        elif beg[i] >= 0 or end[i] >= 0:
+            assert 0 <= beg[i] <= end[i]
+    assert ((scores >= 0.0) & (scores <= 1.0)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(l1=lines, l2=lines, cutoff=st.floats(min_value=0.0, max_value=1.0))
+def test_cutoff_floors_assigned_scores(l1, l2, cutoff):
+    res, scores = match(l1, l2, cutoff=cutoff)
+    assigned = res >= 0
+    if cutoff > 0:
+        assert (scores[assigned] >= cutoff).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(l1=lines, l2=lines)
+def test_deterministic(l1, l2):
+    a = match(l1, l2, try_subseg=True)
+    b = match(l1, l2, try_subseg=True)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(l=lines)
+def test_identity_is_fixed_point(l):
+    # aligning a list against itself matches every line with score 1
+    res, scores = match(l, l)
+    unique = len(set(l)) == len(l)
+    if unique:
+        assert res.tolist() == list(range(len(l)))
+    assert np.allclose(scores[res >= 0], 1.0)
