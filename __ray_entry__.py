@@ -152,8 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textstats.quality_scores(_read(sf, "documents")),
         "lang_id": lambda sf: textstats.lang_id(_read(sf, "documents")),
         "fingerprints": lambda sf: textstats.fingerprints(_read(sf, "documents")),
+        "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents")),
         # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
         "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
+        "dedup_keepers": lambda sf: dedup.dedup_keepers(_read(sf, "documents")),
         "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents")),
         "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents")),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents")),
@@ -189,7 +191,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "fingerprints": textstats.FINGERPRINT_SQL,
+        "quality_filter": textstats.QUALITY_FILTER_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "dedup_keepers": dedup.DEDUP_KEEPERS_SQL,
         "jaccard_sample": dedup.JACCARD_SAMPLE_SQL,
         "knn_brute": simsearch.KNN_BRUTE_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,

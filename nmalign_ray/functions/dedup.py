@@ -332,3 +332,34 @@ def jaccard_sample(ds: ray.data.Dataset, max_id: int = JACCARD_SAMPLE_MAX_ID) ->
              "jaccard": pa.array(rows["jaccard"], pa.float64())}
         )
     )
+
+
+DEDUP_KEEPERS_SQL = """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+JOIN (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_doc_id
+  FROM documents GROUP BY 1
+) k ON d.doc_id = k.keep_doc_id
+"""
+
+
+def dedup_keepers(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Documents surviving exact dedup — a broadcast semi-join of the
+    (small) keeper-id set back onto the corpus; at petabyte scale the
+    keeper set becomes a Bloom filter or a bucketed join."""
+    keep_ids = set(
+        exact_dedup(ds).to_pandas()["keep_doc_id"].tolist()
+    )
+    ref = ray.put(keep_ids)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keepers = ray.get(ref)
+        mask = pa.array([d in keepers for d in batch["doc_id"].to_pylist()])
+        kept = batch.filter(mask)
+        return pa.Table.from_pydict(
+            {"doc_id": kept["doc_id"], "n_chars": kept["n_chars"]}
+        )
+
+    return ds.map_batches(semi, batch_format="pyarrow")

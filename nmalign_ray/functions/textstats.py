@@ -245,3 +245,32 @@ def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Content fingerprint (md5 of normalized text) — the exact-dedup key
     and the SQL-checkable stand-in for a rolling hash."""
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, length(text) AS n_chars
+FROM documents
+WHERE (CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       BETWEEN 5 AND 10000)
+  AND round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / CAST(length(text) AS DOUBLE) END, 6) < 0.2
+"""
+
+
+def quality_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Training-data quality gate: keep only documents passing the quality
+    heuristics (filter pushed into the same vectorized pass)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scored = quality_batch(batch)
+        mask = scored["quality_ok"]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.filter(scored["doc_id"], mask),
+                "n_chars": pc.filter(scored["n_chars"], mask),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
