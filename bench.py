@@ -117,6 +117,26 @@ def run_bench() -> dict:
             result.count()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    # single-node anchor: the reference algorithm run serially over the
+    # same data shape (our oracle IS the reference semantics; its kernels
+    # are vendored numpy where the reference used rapidfuzz C++ — see
+    # BASELINE.md for the caveat).  Sampled, not full-corpus.
+    serial_docs_per_sec = None
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        import pyarrow.parquet as pq
+
+        from nmalign_ray.corpus import corpus_from_documents
+        from nmalign_ray.document import process_document
+
+        docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                             columns=["doc_id", "text"]).slice(0, 300)
+        sample = corpus_from_documents(docs["text"].to_pylist(),
+                                       docs["doc_id"].to_pylist())
+        t0 = time.perf_counter()
+        for s, r in zip(sample["spans"].to_pylist(), sample["ref_spans"].to_pylist()):
+            process_document(s, r, cfg.align, cfg.salt_threshold)
+        serial_docs_per_sec = round(sample.num_rows / (time.perf_counter() - t0), 1)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
         "metric": "extract_align e2e wall (read->extract->align->reassemble->checkpointed sink)",
@@ -128,6 +148,9 @@ def run_bench() -> dict:
         "num_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
     }
+    if serial_docs_per_sec is not None:
+        out["serial_oracle_docs_per_sec"] = serial_docs_per_sec
+        out["speedup_vs_serial"] = round(out["docs_per_sec"] / serial_docs_per_sec, 2)
     ray.shutdown()
     return out
 
