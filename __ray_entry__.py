@@ -37,30 +37,35 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
-def derived_corpus(sf_dir: str):
+def derived_corpus(sf_dir: str, families=None):
     """Interleaved corpus derived from the documents table; generated
-    distributed (map_batches) and cached as parquet per sf_dir."""
+    distributed (map_batches) and cached as parquet per (sf_dir, family
+    mix).  The tmp dir is pid-suffixed so concurrent processes cannot
+    collide; the rename is atomic either way."""
     import ray.data
 
-    from nmalign_ray.corpus import corpus_from_documents
+    from nmalign_ray.corpus import FAMILIES, corpus_from_documents
 
+    fams = tuple(families) if families else FAMILIES
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = os.path.join(_CACHE_ROOT, tag, "corpus")
+    fam_tag = "corpus" if fams == FAMILIES else "corpus-" + "-".join(fams)
+    cache = os.path.join(_CACHE_ROOT, tag, fam_tag)
     marker = os.path.join(cache, "_SUCCESS")
     if not os.path.exists(marker):
         docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
         def gen(batch: pa.Table) -> pa.Table:
             return corpus_from_documents(
-                batch["text"].to_pylist(), batch["doc_id"].to_pylist()
+                batch["text"].to_pylist(), batch["doc_id"].to_pylist(),
+                families=fams,
             )
 
-        tmp = cache + ".tmp"
+        tmp = f"{cache}.tmp.{os.getpid()}"
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(cache, ignore_errors=True)
         docs.map_batches(gen, batch_format="pyarrow").write_parquet(tmp)
+        shutil.rmtree(cache, ignore_errors=True)
         os.replace(tmp, cache)
         with open(marker, "w") as f:
             f.write("ok")
@@ -141,11 +146,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rollup_documents(_flagship(sf_dir))
 
+    def extract_align_identity(sf_dir):
+        # the full distributed pipeline on the identity family, where the
+        # expected output is SQL-reconstructible: every ref segment must
+        # come back verbatim, in order — a HASH-VERIFIED end-to-end
+        # alignment check, not just rows-only
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("identity",)), EngineConfig()
+        )
+        return _explode_output(out)
+
     return {
         # --- alignment / extraction (non-SQL; rows-only checks) ---
         "extract_align": extract_align,
         "align_metrics": align_metrics,
         "rollup_text": rollup_text,
+        "extract_align_identity": extract_align_identity,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents")),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents")),
@@ -186,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     from nmalign_ray.functions import dedup, relational, simsearch, textstats
 
     return {
+        "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
         "normalize_docs": textstats.NORMALIZE_SQL,
         "token_counts": textstats.TOKEN_COUNT_SQL,
         "quality_scores": textstats.QUALITY_SQL,
@@ -202,3 +222,29 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
     }
+
+
+# Expected output of the full pipeline on the identity family: the derived
+# ref segmentation (8-word chunks of whitespace tokens — the word-salad
+# documents carry no sentence marks, so corpus_from_documents always takes
+# its word-chunk path) comes back verbatim, in order.
+EXTRACT_ALIGN_IDENTITY_SQL = """
+WITH d AS (
+  SELECT 'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+)
+SELECT doc_id,
+       CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+       'text' AS kind,
+       unnest(seglist) AS text,
+       '' AS media_ref
+FROM segs
+"""
