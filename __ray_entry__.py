@@ -166,34 +166,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_text": rollup_text,
         "extract_align_identity": extract_align_identity,
         # --- text analysis (SQL-verified) ---
-        "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents")),
-        "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents")),
-        "quality_scores": lambda sf: textstats.quality_scores(_read(sf, "documents")),
-        "lang_id": lambda sf: textstats.lang_id(_read(sf, "documents")),
-        "fingerprints": lambda sf: textstats.fingerprints(_read(sf, "documents")),
-        "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents")),
+        "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents", ["doc_id", "text"])),
+        "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents", ["doc_id", "text"])),
+        "quality_scores": lambda sf: textstats.quality_scores(_read(sf, "documents", ["doc_id", "text"])),
+        "lang_id": lambda sf: textstats.lang_id(_read(sf, "documents", ["doc_id", "text"])),
+        "fingerprints": lambda sf: textstats.fingerprints(_read(sf, "documents", ["doc_id", "text"])),
+        "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents", ["doc_id", "text"])),
         # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
-        "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents")),
-        "dedup_keepers": lambda sf: dedup.dedup_keepers(_read(sf, "documents")),
-        "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents")),
-        "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents")),
-        "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents")),
+        "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents", ["doc_id", "text"])),
+        "dedup_keepers": lambda sf: dedup.dedup_keepers(_read(sf, "documents", ["doc_id", "text", "n_chars"])),
+        "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents", ["doc_id", "text"])),
+        "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
+        "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         # --- similarity search (brute SQL-verified; ANN rows-only) ---
-        "knn_brute": lambda sf: simsearch.knn_brute(_read(sf, "embeddings")),
-        "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings")),
+        "knn_brute": lambda sf: simsearch.knn_brute(_read(sf, "embeddings", ["vec_id", "embedding"])),
+        "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "embedding_near_dups": lambda sf: simsearch.embedding_near_dups(
-            _read(sf, "embeddings")
+            _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
         # --- relational coverage (SQL-verified) ---
-        "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem")),
+        "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])),
         "segment_revenue": lambda sf: relational.segment_revenue(
-            _read(sf, "orders"), _read(sf, "customer")
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
         ),
         "inactive_customers": lambda sf: relational.inactive_customers(
-            _read(sf, "customer"), _read(sf, "orders")
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            _read(sf, "orders", ["o_custkey", "o_orderpriority"]),
         ),
-        "top_orders": lambda sf: relational.top_orders(_read(sf, "orders")),
-        "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events")),
+        "top_orders": lambda sf: relational.top_orders(_read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])),
+        "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events", ["user_id", "ts", "value"])),
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "media_features": lambda sf: media.decode_features(
             __import__("ray").data.from_arrow(media.synth_media_table())

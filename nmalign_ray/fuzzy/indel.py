@@ -80,22 +80,27 @@ def _indel_windows_bitparallel(
     lens = (ends - starts).astype(np.int64)
     full = np.uint64((1 << l1) - 1)
 
-    # per-position pattern masks for the (shared) haystack
+    # per-position pattern masks for the (shared) haystack, padded with
+    # lmax zero-masks so `starts + t` never needs clipping and finished
+    # windows read a zero mask (a zero-mask step is a state no-op)
     pm: dict[int, int] = {}
     for i, c in enumerate(needle.tolist()):
         pm[c] = pm.get(c, 0) | (1 << i)
     h = len(haystack)
-    pmh = np.fromiter(
-        (pm.get(c, 0) for c in haystack.tolist()), dtype=np.uint64, count=h
-    )
-
-    v = np.full(w, full, dtype=np.uint64)
     lmax = int(lens.max(initial=0))
+    pmh = np.zeros(h + lmax + 1, dtype=np.uint64)
+    if h:
+        pmh[:h] = np.fromiter(
+            (pm.get(c, 0) for c in haystack.tolist()), dtype=np.uint64, count=h
+        )
+    # zero the positions past each window's own end: a window may end
+    # before the haystack does, and real characters there must not match
+    v = np.full(w, full, dtype=np.uint64)
     starts64 = starts.astype(np.int64)
+    ends64 = ends.astype(np.int64)
     for t in range(lmax):
         pos = starts64 + t
-        m = pmh[np.clip(pos, 0, max(h - 1, 0))]
-        m = np.where(t < lens, m, np.uint64(0))
+        m = np.where(pos < ends64, pmh[pos], np.uint64(0))
         u = v & m
         v = ((v + u) | (v - u)) & full
     lcs = _popcount64((~v) & full)

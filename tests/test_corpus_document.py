@@ -196,3 +196,26 @@ class TestRollup:
         assert out.schema.equals(ROLLUP_SCHEMA)
         assert out.num_rows == golden.num_rows
         assert all("\n" in t or len(t) >= 0 for t in out["text"].to_pylist())
+
+
+class TestHtmlRobustness:
+    def test_unclosed_tags_and_entities(self):
+        html = "<div><p>Der Geist &amp; die Vernunft sind frei<p>Zweiter Absatz ohne Ende"
+        blocks = extract_html_blocks(html)
+        assert "Der Geist & die Vernunft sind frei" in blocks
+        assert "Zweiter Absatz ohne Ende" in blocks
+
+    def test_plain_text_without_markup_passes_through(self):
+        assert extract_html_blocks("Nur einfacher Text ohne Markup.") == [
+            "Nur einfacher Text ohne Markup."
+        ]
+
+    def test_nested_chrome_is_stripped_entirely(self):
+        html = ("<nav><div><p>menu item that is long enough</p></div></nav>"
+                "<p>Nur dieser Inhalt bleibt übrig.</p>")
+        assert extract_html_blocks(html) == ["Nur dieser Inhalt bleibt übrig."]
+
+    def test_empty_and_garbage_input(self):
+        assert extract_html_blocks("") == []
+        # malformed markup degrades to data (lenient parse), never crashes
+        assert extract_html_blocks("<<<>>><&&&") == ["<<<>>><&&&"]
