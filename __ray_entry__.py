@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "top_orders": lambda sf: relational.top_orders(_read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])),
         "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events", ["user_id", "ts", "value"])),
+        "sessionize": lambda sf: relational.sessionize(
+            _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+        ),
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "media_features": lambda sf: media.decode_features(
             __import__("ray").data.from_arrow(media.synth_media_table())
@@ -223,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
+        "sessionize": relational.SESSIONIZE_SQL,
     }
 
 

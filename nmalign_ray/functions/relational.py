@@ -243,3 +243,58 @@ def hourly_events(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return combined.map_batches(finish, batch_format="pyarrow")
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       CAST(sess AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows over the event stream: a gap > ``gap_minutes``
+    between a user's consecutive events starts a new session.
+
+    Ray Data has no event-time watermarks (guide: streaming-shaped
+    workloads); the ordering assumption is explicit — events are
+    partitioned by ``user_id`` (one hash shuffle) and sorted by
+    ``(ts, event_id)`` WITHIN each group, which is exact for bounded
+    batch input.  Per-group state is a pandas cumulative sum, vectorized.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        brk = g["ts"].diff().isna() | (g["ts"].diff() > gap)
+        g["session_id"] = brk.cumsum().astype(np.int64)
+        out = g.groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_value"] = out["sum_value"].round(3)
+        return out
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
