@@ -108,6 +108,11 @@ def run_bench() -> dict:
         "segment_revenue",
         "top_orders",
         "hourly_events",
+        "sessionize",
+        "jaccard_sample",
+        "quality_filter",
+        "dedup_keepers",
+        "extract_align_identity",
     )
     for name in op_names:
         t0 = time.perf_counter()

@@ -255,12 +255,18 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
     """Derive an interleaved corpus from an existing documents table: each
     source text is segmented into sentences (the ref segmentation), then
     corrupted/restructured per fixture family — deterministic per doc_id."""
+    import zlib
+
     out_ids, all_spans, all_refs = [], [], []
     for text, did in zip(texts, doc_ids):
-        rng = np.random.default_rng(seed * 3_000_017 + int(did))
+        try:
+            key = int(did)
+        except (TypeError, ValueError):
+            key = zlib.crc32(str(did).encode("utf-8"))
+        rng = np.random.default_rng(seed * 3_000_017 + key)
         # family keyed on doc_id (NOT list position) so generation is
         # invariant to batch boundaries when distributed via map_batches
-        family = families[int(did) % len(families)]
+        family = families[key % len(families)]
         segs = [s for s in _SENT_SPLIT.split(text) if s.strip()]
         # word-salad documents have no sentence marks: chunk by words
         if len(segs) <= 1:

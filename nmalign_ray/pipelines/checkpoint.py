@@ -31,6 +31,7 @@ import zlib
 from functools import partial
 
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401  (pa.compute used below; not auto-imported)
 import pyarrow.parquet as pq
 import ray.data
 
