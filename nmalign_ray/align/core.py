@@ -170,6 +170,11 @@ def match(
                 scores[si] = sscore
                 alive1[si] = False
         else:
+            if not np.isfinite(score):
+                # every remaining choice is denylisted (-inf): stop rather
+                # than assign a forbidden pair (the reference's interactive
+                # reject would simply never accept it, align.py:145)
+                break
             if cutoff and score < cutoff:
                 if not try_subseg:
                     break  # every later match only scores worse (align.py:147-150)
@@ -226,10 +231,18 @@ def match_subseg(
     if np.count_nonzero(ok) < 2:
         return []
     cand_rows = col_rows[ok]
-    cand_strs = [l1[r] for r in cand_rows]
+    # preprocess each string ONCE (rapidfuzz cdist semantics: processor
+    # per input string, not per pair) and run both the screen and the
+    # exact stage on the processed strings
+    if processor is not None:
+        cand_strs = [processor(l1[r]) for r in cand_rows]
+        seg2_proc = processor(seg2)
+    else:
+        cand_strs = [l1[r] for r in cand_rows]
+        seg2_proc = seg2
     # screen 2: fast windowed local-alignment overview
     pr = partial_ratio_cdist(
-        cand_strs, [seg2], score_cutoff=partial_min, processor=processor
+        cand_strs, [seg2_proc], score_cutoff=partial_min, processor=None
     )
     if np.count_nonzero(pr >= partial_min) < 2:
         return []
@@ -248,11 +261,16 @@ def match_subseg(
     # edge with cost (1 - score/100) * window length (align.py:196-211)
     for k in np.nonzero(pr[:, 0] >= partial_min)[0]:
         row = int(cand_rows[k])
-        sa = partial_ratio_alignment(l1[row], seg2, processor=processor)
-        dest_end = min(sa.dest_end, len(seg2))  # clamp (align.py:208)
-        cost = (1.0 - sa.score / 100.0) * (dest_end - sa.dest_start)
-        costs[sa.dest_start, dest_end] = cost
-        owner[sa.dest_start, dest_end] = row
+        sa = partial_ratio_alignment(cand_strs[k], seg2_proc, processor=None)
+        # clamp both ends to the RAW segment length (align.py:208 clamps
+        # only dest_end; dest positions index the PROCESSED string, and a
+        # lengthening normalization — e.g. NFKC '…' -> '...' — can push
+        # dest_start past the raw length, where the reference would crash)
+        dest_end = min(sa.dest_end, len(seg2))
+        dest_start = min(sa.dest_start, dest_end)
+        cost = (1.0 - sa.score / 100.0) * (dest_end - dest_start)
+        costs[dest_start, dest_end] = cost
+        owner[dest_start, dest_end] = row
 
     dist, pred = shortest_path_from0(costs)
     # path cost -> score; must strictly beat the whole-segment match

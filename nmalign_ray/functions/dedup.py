@@ -71,8 +71,11 @@ def _hash64(s: str) -> int:
 
 
 def _perm_params(seed: int = 42):
+    # 31-bit multipliers over 32-bit keys: products stay < 2^63, so the
+    # mod-p arithmetic below is exact in uint64 (a 61-bit multiplier
+    # would silently wrap mod 2^64 before the reduction)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, NUM_PERM, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, 1 << 31, NUM_PERM, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _MERSENNE, NUM_PERM, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -85,11 +88,12 @@ def minhash_signature(shingles: set[str]) -> np.ndarray:
     h_i(x) = (a_i * x + b_i) mod 2^61-1, vectorized across permutations."""
     if not shingles:
         return np.full(NUM_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
-    base = np.fromiter((_hash64(s) for s in shingles), dtype=np.uint64,
-                       count=len(shingles))
-    # (P, S) = (a[:,None] * base[None,:] + b[:,None]) mod p, min over S
+    base = np.fromiter((_hash64(s) >> 32 for s in shingles), dtype=np.uint64,
+                       count=len(shingles))  # 32-bit keys (see _perm_params)
+    # (P, S) = (a[:,None] * base[None,:] + b[:,None]) mod p, min over S —
+    # exact: 31-bit a x 32-bit base < 2^63, + b < 2^64, no wrap before mod
     prod = (
-        _PERM_A[:, None] * (base[None, :] % _MERSENNE) + _PERM_B[:, None]
+        _PERM_A[:, None] * base[None, :] + _PERM_B[:, None]
     ) % np.uint64(_MERSENNE)
     return prod.min(axis=1)
 
@@ -285,7 +289,7 @@ JACCARD_SAMPLE_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents WHERE doc_id < {JACCARD_SAMPLE_MAX_ID}
+  FROM documents WHERE doc_id < {JACCARD_SAMPLE_MAX_ID} AND trim(text) <> ''
 ),
 sh AS (
   SELECT doc_id,
@@ -313,7 +317,8 @@ def jaccard_sample(ds: ray.data.Dataset, max_id: int = JACCARD_SAMPLE_MAX_ID) ->
     small = ds.map_batches(
         lambda b: b.filter(pc.less(b["doc_id"], max_id)), batch_format="pyarrow"
     ).to_pandas()
-    sh = {r.doc_id: shingle_set(r.text) for r in small.itertuples()}
+    sh = {r.doc_id: shingle_set(r.text) for r in small.itertuples()
+          if r.text.strip()}
     ids = sorted(sh)
     rows = {"doc_a": [], "doc_b": [], "jaccard": []}
     for i in range(len(ids)):
@@ -356,7 +361,8 @@ def dedup_keepers(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     def semi(batch: pa.Table) -> pa.Table:
         keepers = ray.get(ref)
-        mask = pa.array([d in keepers for d in batch["doc_id"].to_pylist()])
+        mask = pa.array([d in keepers for d in batch["doc_id"].to_pylist()],
+                        type=pa.bool_())
         kept = batch.filter(mask)
         return pa.Table.from_pydict(
             {"doc_id": kept["doc_id"], "n_chars": kept["n_chars"]}

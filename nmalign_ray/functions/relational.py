@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .textstats import round_half_away
+
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 3) AS sum_qty,
@@ -81,10 +83,10 @@ def pricing_summary(lineitem: ray.data.Dataset) -> pd.DataFrame:
         sum_disc=("sum_disc", "sum"),
         count_order=("count_order", "sum"),
     )
-    out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(6)
+    out["avg_disc"] = round_half_away(out["sum_disc"] / out["count_order"], 6)
     out = out.drop(columns=["sum_disc"])
     for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[col] = out[col].round(3)
+        out[col] = round_half_away(out[col], 3)
     return out[
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
          "sum_disc_price", "avg_disc", "count_order"]
@@ -124,7 +126,7 @@ def segment_revenue(
     out = partials.groupby("c_mktsegment", as_index=False).agg(
         revenue=("revenue", "sum"), num_orders=("num_orders", "sum")
     )
-    out["revenue"] = out["revenue"].round(3)
+    out["revenue"] = round_half_away(out["revenue"], 3)
     return out
 
 
@@ -157,7 +159,8 @@ def inactive_customers(
     def anti(batch: pa.Table) -> pa.Table:
         active_keys = ray.get(ref)
         mask = [int(k) not in active_keys for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask)).select(["c_custkey", "c_name"])
+        return batch.filter(pa.array(mask, type=pa.bool_())).select(
+            ["c_custkey", "c_name"])
 
     out = customer.map_batches(anti, batch_format="pyarrow").to_pandas()
     if out.empty:
@@ -192,7 +195,7 @@ def top_orders(orders: ray.data.Dataset, k: int = 10) -> pd.DataFrame:
     out = partials.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True]
     ).head(k).reset_index(drop=True)
-    out["o_totalprice"] = out["o_totalprice"].round(3)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 3)
     return out
 
 
@@ -238,7 +241,9 @@ def hourly_events(events: ray.data.Dataset) -> ray.data.Dataset:
                 "user_id": batch["user_id"],
                 "hour": batch["hour"],
                 "n_events": pc.cast(batch["n_events"], pa.int64()),
-                "sum_value": pc.round(batch["sum_value_raw"], 3),
+                "sum_value": pa.array(round_half_away(
+                    batch["sum_value_raw"].to_numpy(zero_copy_only=False), 3
+                ), pa.float64()),
             }
         )
 
@@ -294,7 +299,7 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype(np.int64)
-        out["sum_value"] = out["sum_value"].round(3)
+        out["sum_value"] = round_half_away(out["sum_value"], 3)
         return out
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -91,15 +91,19 @@ def knn_brute(
         rows = {"q_id": [], "vec_id": [], "score": []}
         kk = min(k, emb.shape[0])
         for qi, qid in enumerate(qids):
-            s = sims[qi]
             mask = vec_ids != qid
             cand = np.nonzero(mask)[0]
             if not len(cand):
                 continue
-            top = cand[np.argsort(-s[cand], kind="stable")[:kk]]
+            # order by ROUNDED score desc, vec_id asc — the same total
+            # order the SQL oracle's row_number uses, so ties at the
+            # per-batch cut keep the same rows the oracle keeps
+            s_r = round6(sims[qi][cand])
+            order = np.lexsort((vec_ids[cand], -s_r))[:kk]
+            top = cand[order]
             rows["q_id"].extend([int(qid)] * len(top))
             rows["vec_id"].extend(vec_ids[top].tolist())
-            rows["score"].extend(round6(s[top]).tolist())
+            rows["score"].extend(s_r[order].tolist())
         return pa.Table.from_pydict(
             {"q_id": pa.array(rows["q_id"], pa.int64()),
              "vec_id": pa.array(rows["vec_id"], pa.int64()),

@@ -44,11 +44,17 @@ def _tokens_and_offsets(texts: pa.ChunkedArray | pa.Array):
     return flat, offsets, counts
 
 
-def round6(x: np.ndarray) -> np.ndarray:
-    """Round half away from zero at 6 decimals (DuckDB's round semantics;
-    numpy's np.round is half-to-even and diverges at exact .5 boundaries,
-    e.g. k/128 ratios)."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+def round_half_away(x, ndigits: int = 6):
+    """Round half away from zero (DuckDB's round semantics; numpy/pandas
+    round half-to-even and diverge at exact .5 boundaries, e.g. k/128
+    ratios or binary-exact sums).  Sign-aware."""
+    arr = np.asarray(x, dtype=np.float64)
+    k = 10.0 ** ndigits
+    return np.sign(arr) * np.floor(np.abs(arr) * k + 0.5) / k
+
+
+def round6(x) -> np.ndarray:
+    return round_half_away(x, 6)
 
 
 def _segment_count(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:

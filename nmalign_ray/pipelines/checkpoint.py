@@ -65,7 +65,7 @@ def _filter_completed(batch: pa.Table, done: frozenset, num_partitions: int) -> 
         doc_partition(d, num_partitions) not in done
         for d in batch["doc_id"].to_pylist()
     ]
-    return batch.filter(pa.array(keep))
+    return batch.filter(pa.array(keep, type=pa.bool_()))
 
 
 def _add_pid(batch: pa.Table, num_partitions: int) -> pa.Table:

@@ -23,9 +23,9 @@ from ..stages import AlignChunks, extract_and_salt, reassemble_group
 
 
 def resolve_concurrency(cfg: EngineConfig):
-    """Aligner pool size: explicit config wins; otherwise (cpus//4, cpus-2)
-    of the current session — a warm floor plus headroom for the read /
-    shuffle / sink stages."""
+    """Aligner pool size: explicit config wins; otherwise a FIXED pool of
+    cpus-2 of the current session (headroom for the read / shuffle /
+    sink stages)."""
     if cfg.align_concurrency is not None:
         return cfg.align_concurrency
     import ray

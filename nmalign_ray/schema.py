@@ -93,10 +93,10 @@ class EngineConfig:
     # Ray COALESCE the input into few tasks and serializes the pool);
     # autoscale the pool up to the node's CPU count
     align_batch_size: int = 16
-    # None = auto-size from the Ray session: (cpus//4, cpus-2).  A fixed
-    # floor matters: autoscaling from 1 ramps too slowly and leaves the
-    # pool cold for the first half of the job (measured 13.8s -> 8.9s at
-    # sf0.1/32cpu)
+    # None = auto-size from the Ray session: a FIXED pool of cpus-2.
+    # Fixed matters: an autoscaling pool ramps too slowly and leaves the
+    # stage under-parallelized for the first half of the job (measured
+    # 13.8s -> 8.9s at sf0.1/32cpu)
     align_concurrency: int | tuple[int, int] | None = None
     # stateless-stage batch size
     extract_batch_size: int = 64

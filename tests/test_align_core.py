@@ -176,3 +176,28 @@ class TestDeterminism:
         l2 = [s[3:] + "xy" for s in LINES]
         _, scores = match(LINES, l2)
         assert ((scores >= 0) & (scores <= 1)).all()
+
+
+class TestReviewRegressions:
+    def test_nfkc_lengthening_segment_does_not_crash(self):
+        # NFKC expands '…' -> '...' so processed positions can exceed the
+        # raw segment length; the reference would IndexError here — the
+        # engine clamps both slice ends to the raw string instead
+        l1 = [
+            "erste zeile mit einigen worten darin…",
+            "zweite zeile mit anderen worten dabei…",
+        ]
+        merged = "erste zeile mit einigcn worten darin… " \
+                 "zweite zcile mit anderen worten dabei…"
+        res, scores = match(l1, [merged], try_subseg=True)
+        idx, beg, end = res
+        assert (idx >= -1).all()
+        for i in range(len(l1)):
+            if beg[i] >= 0:
+                assert 0 <= beg[i] <= end[i] <= len(merged)
+
+    def test_denylist_sole_pair_stays_unmatched(self):
+        # a denylisted pair must NEVER be assigned, even as last resort
+        res, scores = match(["abc"], ["abc"], denylist=frozenset({(0, 0)}))
+        assert res.tolist() == [-1]
+        assert np.isfinite(scores).all()
