@@ -20,13 +20,22 @@ and cached as parquet under /tmp per scale factor.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_CACHE_ROOT = "/tmp/nmalign_ray_cache"
+# make the package importable regardless of the driver's cwd/sys.path
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+# bump _GEN_VERSION whenever corpus derivation changes — it keys the /tmp
+# cache so stale corpora from older code can never leak into a run
+_GEN_VERSION = "v1"
+_CACHE_ROOT = f"/tmp/nmalign_ray_cache/{_GEN_VERSION}"
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -181,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (brute SQL-verified; ANN rows-only) ---
         "knn_brute": lambda sf: simsearch.knn_brute(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings", ["vec_id", "embedding"])),
+        "knn_ivf": lambda sf: simsearch.knn_ivf(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "embedding_near_dups": lambda sf: simsearch.embedding_near_dups(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),

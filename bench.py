@@ -104,6 +104,7 @@ def run_bench() -> dict:
         "simhash_near_dups",
         "knn_brute",
         "knn_lsh",
+        "knn_ivf",
         "pricing_summary",
         "segment_revenue",
         "top_orders",

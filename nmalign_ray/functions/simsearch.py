@@ -238,3 +238,94 @@ def embedding_near_dups(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.da
     return ds.map_batches(sig_rows, batch_format="pyarrow").groupby("sig").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (coarse-quantizer scale path)
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def _kmeans(sample: np.ndarray, k: int = IVF_CLUSTERS, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means on unit vectors (seeded init, fixed
+    iteration count — no convergence-dependent nondeterminism)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-30)
+    return centroids
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    train_sample: int = 2048,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k with an IVF coarse quantizer: a small
+    seeded sample trains k-means centroids (broadcast once); each batch
+    scores only rows whose nearest centroid is among the query's
+    ``nprobe`` closest — the candidate set shrinks ~(nprobe / clusters)
+    while the centroids stay driver-side-tiny.  Same output schema as
+    ``knn_brute``; recall < 1 by design (tested against the baseline)."""
+    import pyarrow.compute as pc
+
+    train_tbl = ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], train_sample)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    train = _normalize_rows(np.stack(train_tbl["embedding"].to_numpy())
+                            .astype(np.float64))
+    centroids = _kmeans(train)
+
+    q_tbl = train_tbl[train_tbl["vec_id"] < num_queries].sort_values("vec_id")
+    q_mat = _normalize_rows(np.stack(q_tbl["embedding"].to_numpy())
+                            .astype(np.float64))
+    q_ids = q_tbl["vec_id"].to_numpy()
+    # per query: the nprobe nearest centroids
+    q_probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, centroids, q_probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cents, probe = ray.get(ref)
+        emb = _normalize_rows(_stack_embeddings(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        assign = np.argmax(emb @ cents.T, axis=1)  # coarse bucket per row
+        rows = {"q_id": [], "vec_id": [], "score": []}
+        kk = min(k, emb.shape[0])
+        for qi, qid in enumerate(qids):
+            cand = np.nonzero(np.isin(assign, probe[qi]) & (vec_ids != qid))[0]
+            if not len(cand):
+                continue
+            s_r = round6(qmat[qi] @ emb[cand].T)
+            order = np.lexsort((vec_ids[cand], -s_r))[:kk]
+            top = cand[order]
+            rows["q_id"].extend([int(qid)] * len(top))
+            rows["vec_id"].extend(vec_ids[top].tolist())
+            rows["score"].extend(s_r[order].tolist())
+        return pa.Table.from_pydict(
+            {"q_id": pa.array(rows["q_id"], pa.int64()),
+             "vec_id": pa.array(rows["vec_id"], pa.int64()),
+             "score": pa.array(rows["score"], pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["vec_id"]).sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("q_id").map_groups(final_topk, batch_format="pandas")

@@ -101,3 +101,18 @@ class TestAnnQuality:
         want = set(zip(brute.q_id, brute.vec_id))
         recall = len(got & want) / len(want)
         assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+class TestIvfQuality:
+    def test_ivf_recall_against_brute(self, ray_session):
+        brute = to_pandas(entrymod.queries()["knn_brute"](SF_DIR))
+        ivf = to_pandas(entrymod.queries()["knn_ivf"](SF_DIR))
+        got = set(zip(ivf.q_id, ivf.vec_id))
+        want = set(zip(brute.q_id, brute.vec_id))
+        recall = len(got & want) / len(want)
+        assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+    def test_ivf_deterministic(self, ray_session):
+        a = canon(to_pandas(entrymod.queries()["knn_ivf"](SF_DIR)))
+        b = canon(to_pandas(entrymod.queries()["knn_ivf"](SF_DIR)))
+        pd.testing.assert_frame_equal(a, b)
