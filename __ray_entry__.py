@@ -205,6 +205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "orders", ["o_custkey", "o_orderpriority"]),
         ),
         "top_orders": lambda sf: relational.top_orders(_read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])),
+        "nation_revenue": lambda sf: relational.nation_revenue(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        ),
         "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events", ["user_id", "ts", "value"])),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
@@ -235,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": relational.SEGMENT_REVENUE_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
+        "nation_revenue": relational.NATION_REVENUE_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
     }

@@ -303,3 +303,50 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         return out
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+NATION_REVENUE_SQL = """
+SELECT n.n_name,
+       round(sum(o.o_totalprice), 3) AS revenue,
+       count(*) AS num_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def nation_revenue(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+) -> pd.DataFrame:
+    """Three-table star join: both dimension hops (customer -> nation) are
+    composed into ONE broadcast lookup custkey -> nation name, so the fact
+    table streams through a single map stage with partial aggregation —
+    no shuffle at any join."""
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nation_of_cust = {
+        int(ck): name_of.get(int(nk))
+        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    ref = ray.put(nation_of_cust)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nname = batch["o_custkey"].to_pandas().map(lookup)
+        df = pd.DataFrame({"n_name": nname,
+                           "price": batch["o_totalprice"].to_pandas()})
+        df = df.dropna(subset=["n_name"])
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("price", "sum"), num_orders=("price", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby("n_name", as_index=False).agg(
+        revenue=("revenue", "sum"), num_orders=("num_orders", "sum"))
+    out["revenue"] = round_half_away(out["revenue"], 3)
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    return out

@@ -42,9 +42,26 @@ def resolve_concurrency(cfg: EngineConfig):
 def build_extract_pipeline(
     ds: ray.data.Dataset,
     config: EngineConfig | None = None,
+    reassemble: str = "shuffle",
 ) -> ray.data.Dataset:
     """Compose the extraction pipeline over a corpus Dataset
-    (``doc_id, spans, ref_spans``); returns the lazy output Dataset."""
+    (``doc_id, spans, ref_spans``); returns the lazy output Dataset.
+
+    ``reassemble``:
+
+    * ``"shuffle"`` (default) — ``groupby(doc_id).map_groups``, the
+      north-star exchange: correct unconditionally, including any future
+      producer that scatters a document's chunks across blocks.
+    * ``"local"`` — zero-shuffle fast path exploiting a producer
+      invariant of THIS pipeline: all chunk rows + media of a document
+      are emitted by one ``extract_and_salt`` call (the document is one
+      input row) and stay within one aligned output block, so per-block
+      grouping reassembles exactly.  The invariant breaks only if a
+      single batch's output exceeds ``DataContext.target_max_block_size``
+      (128 MiB default) and is split mid-document — i.e. a single
+      document of that order of text; equality with shuffle mode is
+      pinned by tests on every fixture family incl. salted skew.
+    """
     cfg = config if config is not None else EngineConfig()
     chunks = ds.map_batches(
         partial(extract_and_salt, salt_threshold=cfg.salt_threshold),
@@ -59,6 +76,10 @@ def build_extract_pipeline(
         concurrency=resolve_concurrency(cfg),
         num_cpus=1,
     )
+    if reassemble == "local":
+        return aligned.map_batches(
+            reassemble_block, batch_format="pyarrow", batch_size=None
+        )
     # coalesce the aligner's many small output blocks before the shuffle,
     # and bound the shuffle width: the sort-based groupby's scheduling
     # overhead scales with block count, not bytes (measured 43s -> 26s at
@@ -67,6 +88,22 @@ def build_extract_pipeline(
     return aligned.groupby("doc_id", num_partitions=cfg.num_partitions).map_groups(
         reassemble_group, batch_format="pyarrow"
     )
+
+
+def reassemble_block(batch):
+    """Per-block reassembly for the ``local`` mode: group the block's rows
+    by doc_id and merge each document (same merge as the shuffle path)."""
+    import pyarrow as pa
+
+    from ..schema import OUTPUT_SCHEMA
+
+    by_doc: dict[str, list[int]] = {}
+    for k, did in enumerate(batch["doc_id"].to_pylist()):
+        by_doc.setdefault(did, []).append(k)
+    tables = [
+        reassemble_group(batch.take(idxs)) for _, idxs in sorted(by_doc.items())
+    ]
+    return pa.concat_tables(tables) if tables else OUTPUT_SCHEMA.empty_table()
 
 
 def read_corpus(path: str, columns=None) -> ray.data.Dataset:

@@ -112,3 +112,19 @@ class TestTwoTableJoin:
         joined = join_refs(inputs, refs, num_partitions=4)
         out = build_extract_pipeline(joined, config)
         assert out.count() == 10
+
+
+class TestLocalReassembly:
+    def test_local_equals_shuffle_and_oracle(self, ray_session, corpus, config, golden):
+        ds = ray_session.data.from_arrow(corpus)
+        out = build_extract_pipeline(ds, config, reassemble="local")
+        tbl = pa.concat_tables([ray_session.get(r) for r in out.to_arrow_refs()])
+        assert spans_key(tbl) == spans_key(golden)
+
+    def test_local_metrics_match_oracle(self, ray_session, corpus, config, golden):
+        ds = ray_session.data.from_arrow(corpus)
+        out = build_extract_pipeline(ds, config, reassemble="local").to_pandas()
+        want = golden.to_pandas()
+        merged = out.merge(want, on="doc_id", suffixes=("", "_w"))
+        assert (merged.matched == merged.matched_w).all()
+        assert (merged.total == merged.total_w).all()
