@@ -84,11 +84,27 @@ def derived_corpus(sf_dir: str, families=None):
     )
 
 
+_FLAGSHIP_CACHE: dict[str, Any] = {}
+
+
 def _flagship(sf_dir: str):
+    """Flagship pipeline result, materialized once per (process, sf_dir):
+    three queries project different views of the same output, so the
+    driver's correctness sweep runs the alignment once, not three times.
+    The materialized table is small (one row per document)."""
+    import ray.data
+
     from nmalign_ray.pipelines import build_extract_pipeline
     from nmalign_ray.schema import EngineConfig
 
-    return build_extract_pipeline(derived_corpus(sf_dir), EngineConfig())
+    cached = _FLAGSHIP_CACHE.get(sf_dir)
+    if cached is None:
+        out = build_extract_pipeline(derived_corpus(sf_dir), EngineConfig())
+        cached = pa.concat_tables(
+            [ray.get(r) for r in out.to_arrow_refs()]
+        ).combine_chunks()
+        _FLAGSHIP_CACHE[sf_dir] = cached
+    return ray.data.from_arrow(cached)
 
 
 def _explode_output(out_ds):
@@ -211,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "nation", ["n_nationkey", "n_name"]),
         ),
         "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events", ["user_id", "ts", "value"])),
+        "sliding_events": lambda sf: relational.sliding_events(
+            _read(sf, "events", ["user_id", "ts", "value"])
+        ),
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         ),
@@ -243,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": relational.NATION_REVENUE_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
+        "sliding_events": relational.SLIDING_EVENTS_SQL,
     }
 
 

@@ -110,6 +110,8 @@ def run_bench() -> dict:
         "top_orders",
         "hourly_events",
         "sessionize",
+        "sliding_events",
+        "nation_revenue",
         "jaccard_sample",
         "quality_filter",
         "dedup_keepers",

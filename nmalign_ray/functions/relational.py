@@ -350,3 +350,63 @@ def nation_revenue(
     out["revenue"] = round_half_away(out["revenue"], 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
     return out
+
+
+SLIDING_EVENTS_SQL = """
+SELECT user_id,
+       time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+         AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY user_id, window_start
+"""
+
+
+def sliding_events(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Sliding event-time windows (1 h length, 15 min slide) via the
+    explode-to-covering-windows pattern: each event is replicated into
+    the 4 windows that contain it inside a vectorized ``map_batches``
+    (numpy datetime arithmetic), pre-aggregated per batch, then combined
+    with one small groupby — no self-join, no range join."""
+    from ray.data.aggregate import Sum
+
+    slide = np.timedelta64(15, "m")
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        bucket = ts.astype("datetime64[15m]")  # floor to the 15-minute grid
+        n = len(ts)
+        frames = []
+        for k in range(4):
+            frames.append(pd.DataFrame({
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "window_start": (bucket - k * slide.astype("timedelta64[15m]"))
+                    .astype("datetime64[us]"),
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value_raw=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events.map_batches(explode_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    combined = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events_raw"),
+        Sum("sum_value_raw", alias_name="sum_raw"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "window_start": batch["window_start"],
+                "n_events": pc.cast(batch["n_events_raw"], pa.int64()),
+                "sum_value": pa.array(round_half_away(
+                    batch["sum_raw"].to_numpy(zero_copy_only=False), 3
+                ), pa.float64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
