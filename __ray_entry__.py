@@ -237,6 +237,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: media.decode_features(
             __import__("ray").data.from_arrow(media.synth_media_table())
         ),
+        "media_resize": lambda sf: media.resize_images(
+            __import__("ray").data.from_arrow(media.synth_media_table())
+        ),
+        "media_frames": lambda sf: media.sample_frames(
+            __import__("ray").data.from_arrow(media.synth_media_table())
+        ),
     }
 
 

@@ -118,3 +118,109 @@ def decode_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_index", pa.int32()),
+        ("timestamp_ms", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class ResizeStub:
+    """Actor-pool resize stage (images): same plumbing contract as
+    ``DecodeStub`` — real codec goes behind the ``strict`` seam; the fake
+    is deterministic (target box + content-derived bytes)."""
+
+    def __init__(self, max_side: int = 64, strict: bool = False):
+        self.max_side = max_side
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in RESIZED_SCHEMA.names}
+        for ref, kind, payload in zip(
+            batch["media_ref"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if self.strict:
+                raise NotImplementedError(
+                    "plug a real resampler in here (e.g. PIL Image.resize)"
+                )
+            digest = hashlib.blake2b(payload, digest_size=16).digest()
+            w, h = 16 + digest[0], 16 + digest[1]
+            scale = self.max_side / max(w, h)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            fake = hashlib.blake2b(
+                payload + b"|resize|%d" % self.max_side, digest_size=32
+            ).digest()
+            rows["media_ref"].append(ref)
+            rows["kind"].append(kind)
+            rows["width"].append(nw)
+            rows["height"].append(nh)
+            rows["payload"].append(fake)
+        return pa.Table.from_pydict(rows, schema=RESIZED_SCHEMA)
+
+
+class FrameSampleStub:
+    """Actor-pool frame-sampling stage (video/audio): emits N evenly
+    spaced frames per item (1:N flat-map shape — one input row becomes
+    several output rows), deterministic fake frames behind the seam."""
+
+    def __init__(self, frames_per_item: int = 4, strict: bool = False):
+        self.n = frames_per_item
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name: [] for name in FRAME_SCHEMA.names}
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if self.strict:
+                raise NotImplementedError(
+                    "plug a real demuxer in here (e.g. av / ffmpeg bindings)"
+                )
+            # fake duration derived from content: 1-30s
+            dur_ms = 1000 + int.from_bytes(payload[:2], "big") % 29000
+            for i in range(self.n):
+                ts = i * dur_ms // self.n
+                frame = hashlib.blake2b(
+                    payload + b"|frame|%d" % i, digest_size=32
+                ).digest()
+                rows["media_ref"].append(ref)
+                rows["frame_index"].append(i)
+                rows["timestamp_ms"].append(ts)
+                rows["payload"].append(frame)
+        return pa.Table.from_pydict(rows, schema=FRAME_SCHEMA)
+
+
+def resize_images(media: ray.data.Dataset, max_side: int = 64,
+                  batch_size: int = 16, concurrency=2) -> ray.data.Dataset:
+    return media.map_batches(
+        ResizeStub, fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def sample_frames(media: ray.data.Dataset, frames_per_item: int = 4,
+                  batch_size: int = 16, concurrency=2) -> ray.data.Dataset:
+    return media.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"frames_per_item": frames_per_item},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

@@ -97,3 +97,31 @@ class TestMediaPlumbing:
         stub = media.DecodeStub(strict=True)
         with pytest.raises(NotImplementedError):
             stub._decode(b"bytes", "image")
+
+
+class TestMediaResizeAndFrames:
+    def test_resize_bounds_dimensions(self, ray_session):
+        tbl = media.synth_media_table(n=8)
+        out = media.resize_images(
+            ray_session.data.from_arrow(tbl), max_side=32
+        ).to_pandas()
+        assert len(out) == 8
+        assert (out[["width", "height"]].max(axis=1) <= 32).all()
+        assert (out[["width", "height"]].min(axis=1) >= 1).all()
+
+    def test_frame_sampling_is_one_to_n(self, ray_session):
+        tbl = media.synth_media_table(n=6)
+        out = media.sample_frames(
+            ray_session.data.from_arrow(tbl), frames_per_item=4
+        ).to_pandas()
+        assert len(out) == 24
+        per = out.groupby("media_ref")
+        assert (per.frame_index.nunique() == 4).all()
+        assert (per.timestamp_ms.is_monotonic_increasing).all()
+
+    def test_strict_seams(self):
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            media.ResizeStub(strict=True)(media.synth_media_table(n=1))
+        with _pytest.raises(NotImplementedError):
+            media.FrameSampleStub(strict=True)(media.synth_media_table(n=1))
