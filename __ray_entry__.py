@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents", ["doc_id", "text"])),
         "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
+        "dup_groups": lambda sf: dedup.connected_groups(
+            dedup.minhash_near_dups(_read(sf, "documents", ["doc_id", "text"]))
+        ),
         # --- similarity search (brute SQL-verified; ANN rows-only) ---
         "knn_brute": lambda sf: simsearch.knn_brute(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings", ["vec_id", "embedding"])),

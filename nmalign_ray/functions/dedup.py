@@ -369,3 +369,79 @@ def dedup_keepers(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(semi, batch_format="pyarrow")
+
+
+def connected_groups(
+    pairs: ray.data.Dataset, max_rounds: int = 10
+) -> ray.data.Dataset:
+    """Connected components over near-duplicate pairs: distributed
+    min-label propagation (the groupby-iteration pattern — no driver-side
+    union-find over the full pair set).
+
+    Input: (doc_a, doc_b[, ...]) edge rows.  Output: (doc_id, group_id)
+    where group_id is the smallest doc_id reachable from doc_id.  Each
+    round propagates every node's current label across its edges and
+    keeps the per-node minimum (one small groupby per round over
+    (node, label) rows — label rows, never payloads); converges in
+    O(component diameter) rounds, bounded by ``max_rounds``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"]
+        b = batch["doc_b"]
+        return pa.Table.from_pydict(
+            {"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "group_id": pa.array([], pa.int64())}
+            )
+        )
+
+    # label(node) starts as the node's own id
+    labels = edges.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b["src"], "group_id": b["src"]}
+        ),
+        batch_format="pyarrow",
+    ).groupby("doc_id").aggregate(Min("group_id", alias_name="group_id"))
+
+    for _ in range(max_rounds):
+        label_map = dict(
+            zip(labels.to_pandas()["doc_id"], labels.to_pandas()["group_id"])
+        )
+        ref = ray.put(label_map)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            lm = ray.get(ref)
+            src = batch["src"].to_pylist()
+            dst = batch["dst"].to_pylist()
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(src, pa.int64()),
+                 "group_id": pa.array([lm[d] for d in dst], pa.int64())}
+            )
+
+        own = labels.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"doc_id": b["doc_id"], "group_id": b["group_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .union(own)
+            .groupby("doc_id")
+            .aggregate(Min("group_id", alias_name="group_id"))
+            .materialize()
+        )
+        if new_labels.to_pandas().equals(labels.to_pandas()):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

@@ -125,3 +125,34 @@ class TestMediaResizeAndFrames:
             media.ResizeStub(strict=True)(media.synth_media_table(n=1))
         with _pytest.raises(NotImplementedError):
             media.FrameSampleStub(strict=True)(media.synth_media_table(n=1))
+
+
+class TestConnectedGroups:
+    def test_chain_and_separate_component(self, ray_session):
+        pairs = pa.Table.from_pydict({
+            "doc_a": pa.array([1, 2, 7, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 8, 11], pa.int64()),
+        })
+        out = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs)
+        ).to_pandas().set_index("doc_id")["group_id"].to_dict()
+        assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, ray_session):
+        n = 12
+        pairs = pa.Table.from_pydict({
+            "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), pa.int64()),
+        })
+        out = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs), max_rounds=20
+        ).to_pandas()
+        assert (out.group_id == 0).all()
+
+    def test_empty_pairs(self, ray_session):
+        pairs = pa.Table.from_pydict({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        })
+        out = dedup.connected_groups(ray_session.data.from_arrow(pairs))
+        assert out.count() == 0
