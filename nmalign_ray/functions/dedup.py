@@ -383,7 +383,14 @@ def connected_groups(
     round propagates every node's current label across its edges and
     keeps the per-node minimum (one small groupby per round over
     (node, label) rows — label rows, never payloads); converges in
-    O(component diameter) rounds, bounded by ``max_rounds``."""
+    O(component diameter) rounds, bounded by ``max_rounds``.
+
+    Scale note: each round broadcasts the current label map of the
+    PAIRED nodes (the near-duplicate subgraph — orders of magnitude
+    smaller than the corpus, but not unbounded); if the dup graph itself
+    outgrows a broadcast, replace the map lookup with a per-round
+    co-group join of edges and labels on ``dst`` — the round structure
+    is unchanged."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
