@@ -227,27 +227,18 @@ def hourly_events(events: ray.data.Dataset) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = events.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    from ray.data.aggregate import Sum
-
-    combined = partials.groupby(["user_id", "hour"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value_raw"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "user_id": batch["user_id"],
-                "hour": batch["hour"],
-                "n_events": pc.cast(batch["n_events"], pa.int64()),
-                "sum_value": pa.array(round_half_away(
-                    batch["sum_value_raw"].to_numpy(zero_copy_only=False), 3
-                ), pa.float64()),
-            }
-        )
-
-    return combined.map_batches(finish, batch_format="pyarrow")
+    partials = events.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    # final combine over PRE-AGGREGATED partials (row count = distinct
+    # keys, not events) in pandas: Ray's sort-aggregate spends ~100x
+    # longer per key on this shape (measured 15-23s vs <1s at sf0.1);
+    # at billions of keys, swap for the hash-shuffle Dataset.aggregate
+    out = partials.groupby(["user_id", "hour"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
+    return out
 
 
 SESSIONIZE_SQL = """
@@ -302,7 +293,8 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         out["sum_value"] = round_half_away(out["sum_value"], 3)
         return out
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return events.groupby("user_id", num_partitions=32).map_groups(
+        per_user, batch_format="pandas")
 
 
 NATION_REVENUE_SQL = """
@@ -368,9 +360,7 @@ def sliding_events(events: ray.data.Dataset) -> ray.data.Dataset:
     explode-to-covering-windows pattern: each event is replicated into
     the 4 windows that contain it inside a vectorized ``map_batches``
     (numpy datetime arithmetic), pre-aggregated per batch, then combined
-    with one small groupby — no self-join, no range join."""
-    from ray.data.aggregate import Sum
-
+    over the partials — no self-join, no range join."""
     slide = np.timedelta64(15, "m")
 
     def explode_partial(batch: pa.Table) -> pa.Table:
@@ -391,22 +381,11 @@ def sliding_events(events: ray.data.Dataset) -> ray.data.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = events.map_batches(explode_partial, batch_format="pyarrow",
-                                  batch_size=65536)
-    combined = partials.groupby(["user_id", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events_raw"),
-        Sum("sum_value_raw", alias_name="sum_raw"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "user_id": batch["user_id"],
-                "window_start": batch["window_start"],
-                "n_events": pc.cast(batch["n_events_raw"], pa.int64()),
-                "sum_value": pa.array(round_half_away(
-                    batch["sum_raw"].to_numpy(zero_copy_only=False), 3
-                ), pa.float64()),
-            }
-        )
-
-    return combined.map_batches(finish, batch_format="pyarrow")
+                                  batch_size=65536).to_pandas()
+    # same combine-partials-in-pandas tradeoff as hourly_events (see note
+    # there): the partial rows are already one-per-key-per-batch
+    out = partials.groupby(["user_id", "window_start"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value_raw", "sum"))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
+    return out
