@@ -74,10 +74,15 @@ def derived_corpus(sf_dir: str, families=None):
 
         shutil.rmtree(tmp, ignore_errors=True)
         docs.map_batches(gen, batch_format="pyarrow").write_parquet(tmp)
-        shutil.rmtree(cache, ignore_errors=True)
-        os.replace(tmp, cache)
-        with open(marker, "w") as f:
-            f.write("ok")
+        # publish without ever deleting an existing cache (another process
+        # may have won the race and readers may be mid-scan): first rename
+        # wins, losers discard their tmp
+        try:
+            os.rename(tmp, cache)
+            with open(marker, "w") as f:
+                f.write("ok")
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return ray.data.read_parquet(
         [os.path.join(cache, f) for f in sorted(os.listdir(cache))
          if f.endswith(".parquet")]

@@ -417,13 +417,13 @@ def connected_groups(
             {"doc_id": b["src"], "group_id": b["src"]}
         ),
         batch_format="pyarrow",
-    ).groupby("doc_id").aggregate(Min("group_id", alias_name="group_id"))
+    ).groupby("doc_id").aggregate(
+        Min("group_id", alias_name="group_id")
+    ).materialize()
+    labels_df = labels.to_pandas()
 
     for _ in range(max_rounds):
-        label_map = dict(
-            zip(labels.to_pandas()["doc_id"], labels.to_pandas()["group_id"])
-        )
-        ref = ray.put(label_map)
+        ref = ray.put(dict(zip(labels_df["doc_id"], labels_df["group_id"])))
 
         def propagate(batch: pa.Table) -> pa.Table:
             lm = ray.get(ref)
@@ -434,21 +434,16 @@ def connected_groups(
                  "group_id": pa.array([lm[d] for d in dst], pa.int64())}
             )
 
-        own = labels.map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"doc_id": b["doc_id"], "group_id": b["group_id"]}
-            ),
-            batch_format="pyarrow",
-        )
-        new_labels = (
+        labels = (
             edges.map_batches(propagate, batch_format="pyarrow")
-            .union(own)
+            .union(labels)  # keep each node's current label in the min
             .groupby("doc_id")
             .aggregate(Min("group_id", alias_name="group_id"))
             .materialize()
         )
-        if new_labels.to_pandas().equals(labels.to_pandas()):
-            labels = new_labels
+        new_df = labels.to_pandas()
+        converged = new_df.equals(labels_df)
+        labels_df = new_df
+        if converged:
             break
-        labels = new_labels
     return labels

@@ -209,7 +209,7 @@ GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
-def hourly_events(events: ray.data.Dataset) -> ray.data.Dataset:
+def hourly_events(events: ray.data.Dataset) -> pd.DataFrame:
     """Tumbling event-time window aggregate: floor ts to the hour inside a
     vectorized map_batches (partial per batch), then one groupby over the
     pre-aggregated (user, hour) rows."""
@@ -355,7 +355,7 @@ GROUP BY user_id, window_start
 """
 
 
-def sliding_events(events: ray.data.Dataset) -> ray.data.Dataset:
+def sliding_events(events: ray.data.Dataset) -> pd.DataFrame:
     """Sliding event-time windows (1 h length, 15 min slide) via the
     explode-to-covering-windows pattern: each event is replicated into
     the 4 windows that contain it inside a vectorized ``map_batches``

@@ -54,13 +54,17 @@ def build_extract_pipeline(
       producer that scatters a document's chunks across blocks.
     * ``"local"`` — zero-shuffle fast path exploiting a producer
       invariant of THIS pipeline: all chunk rows + media of a document
-      are emitted by one ``extract_and_salt`` call (the document is one
-      input row) and stay within one aligned output block, so per-block
-      grouping reassembles exactly.  The invariant breaks only if a
-      single batch's output exceeds ``DataContext.target_max_block_size``
-      (128 MiB default) and is split mid-document — i.e. a single
-      document of that order of text; equality with shuffle mode is
-      pinned by tests on every fixture family incl. salted skew.
+      are emitted contiguously and stay within one aligned output
+      block, so per-block grouping reassembles exactly.  PRECISE
+      CONDITION: Ray finalizes a map task's output block whenever its
+      CUMULATIVE output crosses ``DataContext.target_max_block_size``
+      (128 MiB default), and the cut lands on a batch boundary — so a
+      document is split only when a task emits >128 MiB AND an
+      ``align_batch_size`` boundary falls inside that document.  Keep
+      per-task output under the block size (the default batch sizing
+      does, for ordinary text corpora) or use the shuffle mode, which
+      is correct unconditionally.  Equality with shuffle mode is pinned
+      by tests on every fixture family incl. salted skew.
     """
     cfg = config if config is not None else EngineConfig()
     chunks = ds.map_batches(
