@@ -82,3 +82,19 @@ class TestExtractJob:
         summary = json.loads(r.stdout.strip().splitlines()[-1])
         assert summary["num_docs"] == 10
         assert (out / "_manifest").is_dir()
+
+
+class TestCliFilelist:
+    def test_filelist_inputs(self, tmp_path):
+        files = []
+        for i, text in enumerate(["erste zeile hier", "zweite zeile dort"]):
+            f = tmp_path / f"l{i}.txt"
+            f.write_text(text)
+            files.append(str(f))
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(files) + "\n")
+        r = run_cli("--filelist1", str(lst), "--filelist2", str(lst), "-f")
+        assert r.returncode == 0
+        rows = [l.split("\t") for l in r.stdout.strip().splitlines()]
+        assert rows[0][0] == rows[0][1] == files[0]
+        assert rows[1][2] == "1.00"

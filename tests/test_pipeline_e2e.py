@@ -128,3 +128,14 @@ class TestLocalReassembly:
         merged = out.merge(want, on="doc_id", suffixes=("", "_w"))
         assert (merged.matched == merged.matched_w).all()
         assert (merged.total == merged.total_w).all()
+
+
+class TestJoinEdges:
+    def test_join_drops_refs_without_inputs(self, ray_session, corpus, config):
+        # the other direction of OCRD_MISSING_INPUT=SKIP: a reference
+        # segmentation with no matching input document is dropped too
+        inputs_tbl = corpus.select(["doc_id", "spans"]).slice(0, 8)
+        inputs = ray_session.data.from_arrow(inputs_tbl)
+        refs = ray_session.data.from_arrow(corpus.select(["doc_id", "ref_spans"]))
+        joined = join_refs(inputs, refs, num_partitions=4)
+        assert joined.count() == 8
