@@ -74,13 +74,17 @@ def derived_corpus(sf_dir: str, families=None):
 
         shutil.rmtree(tmp, ignore_errors=True)
         docs.map_batches(gen, batch_format="pyarrow").write_parquet(tmp)
+        # write the marker INSIDE tmp so data + marker publish atomically
+        # with the rename (a crash between rename and a later marker write
+        # would leave a complete-but-unmarked cache that every future run
+        # tries and fails to regenerate over)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
         # publish without ever deleting an existing cache (another process
         # may have won the race and readers may be mid-scan): first rename
         # wins, losers discard their tmp
         try:
             os.rename(tmp, cache)
-            with open(marker, "w") as f:
-                f.write("ok")
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return ray.data.read_parquet(
@@ -268,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dedup_keepers": dedup.DEDUP_KEEPERS_SQL,
         "jaccard_sample": dedup.JACCARD_SAMPLE_SQL,
+        "minhash_near_dups": dedup.MINHASH_NEAR_DUPS_SQL,
+        "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
+        "dup_groups": dedup.DUP_GROUPS_SQL,
         "knn_brute": simsearch.KNN_BRUTE_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "segment_revenue": relational.SEGMENT_REVENUE_SQL,

@@ -15,8 +15,19 @@ scale, each with an exact DuckDB twin:
 * ``hourly_events``    — event-time tumbling-window aggregate
   (``groupby(user, hour)``) over the events stream table.
 
-Float aggregates are rounded half-away at 3 decimals on both sides so
-summation-order differences cannot flip the value hash.
+Money/value aggregates are DETERMINISTIC by construction: every monetary
+column in the test tables is an exact 2-decimal value, so partials
+accumulate scaled int64 ("cents") — integer sums are associative and
+commutative, so the result is bit-identical regardless of batch
+boundaries or combine order (round-1 post-mortem: float64 partial sums
+combined in Ray's nondeterministic block order flipped
+``round_half_away`` at a half-ULP boundary and broke the
+``pricing_summary`` value hash).  The DuckDB twins cast to
+``DECIMAL(18,2)`` before summing — exact decimal sums — and cast the
+exact sum to DOUBLE the same way the engine divides its int64 by the
+scale, so both sides round the identical double.  (At >~1e10 rows per
+key the int64 cent-sums would need int128/Decimal partials; the per-key
+row count of these queries stays far below that.)
 """
 
 from __future__ import annotations
@@ -30,12 +41,24 @@ import ray.data
 
 from .textstats import round_half_away
 
+
+def _cents(col) -> np.ndarray:
+    """Exact scaled-int64 view of a 2-decimal float column."""
+    arr = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else col
+    return np.rint(np.asarray(arr, dtype=np.float64) * 100.0).astype(np.int64)
+
+
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 3) AS sum_qty,
-       round(sum(l_extendedprice), 3) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 3)
+         AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 3)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -45,31 +68,34 @@ GROUP BY l_returnflag, l_linestatus
 
 def pricing_summary(lineitem: ray.data.Dataset) -> pd.DataFrame:
     """TPC-H Q1-shaped pricing summary.  Partial aggregation per batch
-    (one row per key per batch) keeps the shuffle tiny; the final combine
-    happens on the collected partials (a handful of rows)."""
+    (one row per key per batch) keeps the shuffle tiny; partials are
+    exact scaled int64 (cents; disc_price at 1e-4), so the final combine
+    is order-independent and the result deterministic across any batch
+    split or combine order."""
     cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
+        qty_c = _cents(batch["l_quantity"])
+        base_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])
         df = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_pandas(),
                 "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "qty": batch["l_quantity"].to_pandas(),
-                "base": batch["l_extendedprice"].to_pandas(),
-                "disc_price": disc_price.to_pandas(),
-                "disc": batch["l_discount"].to_pandas(),
+                "qty_c": qty_c,
+                "base_c": base_c,
+                # extendedprice * (1 - discount), exact at scale 1e-4
+                "dp_c4": base_c * (100 - disc_c),
+                "disc_c": disc_c,
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_price=("base", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_disc=("disc", "sum"),
-            count_order=("qty", "size"),
+            qty_c=("qty_c", "sum"),
+            base_c=("base_c", "sum"),
+            dp_c4=("dp_c4", "sum"),
+            disc_c=("disc_c", "sum"),
+            count_order=("qty_c", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -77,16 +103,19 @@ def pricing_summary(lineitem: ray.data.Dataset) -> pd.DataFrame:
         partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     out = partials.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-        sum_qty=("sum_qty", "sum"),
-        sum_base_price=("sum_base_price", "sum"),
-        sum_disc_price=("sum_disc_price", "sum"),
-        sum_disc=("sum_disc", "sum"),
+        qty_c=("qty_c", "sum"),
+        base_c=("base_c", "sum"),
+        dp_c4=("dp_c4", "sum"),
+        disc_c=("disc_c", "sum"),
         count_order=("count_order", "sum"),
     )
-    out["avg_disc"] = round_half_away(out["sum_disc"] / out["count_order"], 6)
-    out = out.drop(columns=["sum_disc"])
-    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[col] = round_half_away(out[col], 3)
+    out["sum_qty"] = round_half_away(out["qty_c"] / 100.0, 3)
+    out["sum_base_price"] = round_half_away(out["base_c"] / 100.0, 3)
+    out["sum_disc_price"] = round_half_away(out["dp_c4"] / 10000.0, 3)
+    out["avg_disc"] = round_half_away(
+        (out["disc_c"] / 100.0) / out["count_order"], 6
+    )
+    out["count_order"] = out["count_order"].astype(np.int64)
     return out[
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
          "sum_disc_price", "avg_disc", "count_order"]
@@ -95,7 +124,8 @@ def pricing_summary(lineitem: ray.data.Dataset) -> pd.DataFrame:
 
 SEGMENT_REVENUE_SQL = """
 SELECT c.c_mktsegment,
-       round(sum(o.o_totalprice), 3) AS revenue,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 3)
+         AS revenue,
        count(*) AS num_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -106,7 +136,8 @@ def segment_revenue(
     orders: ray.data.Dataset, customer: ray.data.Dataset
 ) -> pd.DataFrame:
     """Broadcast hash join: the customer dimension is ``ray.put`` once and
-    looked up per batch — no shuffle touches the fact table."""
+    looked up per batch — no shuffle touches the fact table.  Revenue
+    partials are exact int64 cents (order-independent combine)."""
     cust = customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
     seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     ref = ray.put(seg_of)
@@ -115,19 +146,22 @@ def segment_revenue(
         lookup = ray.get(ref)
         custkeys = batch["o_custkey"].to_pandas()
         seg = custkeys.map(lookup)
-        df = pd.DataFrame({"c_mktsegment": seg, "price": batch["o_totalprice"].to_pandas()})
+        df = pd.DataFrame(
+            {"c_mktsegment": seg, "price_c": _cents(batch["o_totalprice"])}
+        )
         df = df.dropna(subset=["c_mktsegment"])
         g = df.groupby("c_mktsegment", as_index=False).agg(
-            revenue=("price", "sum"), num_orders=("price", "size")
+            price_c=("price_c", "sum"), num_orders=("price_c", "size")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby("c_mktsegment", as_index=False).agg(
-        revenue=("revenue", "sum"), num_orders=("num_orders", "sum")
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum")
     )
-    out["revenue"] = round_half_away(out["revenue"], 3)
-    return out
+    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    return out[["c_mktsegment", "revenue", "num_orders"]]
 
 
 INACTIVE_CUSTOMERS_SQL = """
@@ -203,42 +237,89 @@ HOURLY_EVENTS_SQL = """
 SELECT user_id,
        date_trunc('hour', ts) AS hour,
        count(*) AS n_events,
-       round(sum(value), 3) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_value
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)
 """
 
+# Above this many pre-aggregated partial rows the final window combine
+# runs as a distributed hash-shuffle Dataset.aggregate instead of driver
+# pandas.  The pandas fast path exists because Ray's sort-aggregate costs
+# ~100x more per key on pre-aggregated partials (measured 15-23s vs <1s
+# at sf0.1); the gate keeps the driver from becoming the memory bound
+# when key cardinality grows with the corpus (round-1 verdict item 4).
+WINDOW_DRIVER_COMBINE_MAX = 5_000_000
 
-def hourly_events(events: ray.data.Dataset) -> pd.DataFrame:
+
+def _combine_window_partials(
+    partials: ray.data.Dataset,
+    keys: list[str],
+    driver_max: int = WINDOW_DRIVER_COMBINE_MAX,
+):
+    """Combine (keys..., n_events, value_c) int64 partials into the final
+    (keys..., n_events, sum_value) result.  Driver pandas below
+    ``driver_max`` partial rows, distributed ``Dataset.aggregate`` above —
+    both paths sum exact int64 cents, so they are value-identical."""
+    from ray.data.aggregate import Sum
+
+    parts = partials.materialize()
+    if parts.count() <= driver_max:
+        df = parts.to_pandas()
+        out = df.groupby(keys, as_index=False).agg(
+            n_events=("n_events", "sum"), value_c=("value_c", "sum"))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_value"] = round_half_away(out["value_c"] / 100.0, 3)
+        return out.drop(columns=["value_c"])
+
+    agg = parts.groupby(keys).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_c", alias_name="value_c"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for k in keys:
+            col = batch[k]
+            # Ray's sort-aggregate can narrow timestamp precision; pin us
+            # so both combine paths produce the identical schema
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.timestamp("us"))
+            cols[k] = col
+        cols["n_events"] = pc.cast(batch["n_events"], pa.int64())
+        cols["sum_value"] = pa.array(
+            round_half_away(
+                batch["value_c"].to_numpy(zero_copy_only=False) / 100.0, 3
+            ),
+            pa.float64(),
+        )
+        return pa.Table.from_pydict(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def hourly_events(
+    events: ray.data.Dataset, driver_max: int = WINDOW_DRIVER_COMBINE_MAX
+):
     """Tumbling event-time window aggregate: floor ts to the hour inside a
-    vectorized map_batches (partial per batch), then one groupby over the
-    pre-aggregated (user, hour) rows."""
+    vectorized map_batches (partial per batch, exact int64 cents), then a
+    size-gated combine over the pre-aggregated (user, hour) rows."""
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         df = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_pandas(),
                 "hour": hour.to_pandas(),
-                "value": batch["value"].to_pandas(),
+                "value_c": _cents(batch["value"]),
             }
         )
         g = df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("value_c", "size"), value_c=("value_c", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = events.map_batches(
-        partial, batch_format="pyarrow", batch_size=65536
-    ).to_pandas()
-    # final combine over PRE-AGGREGATED partials (row count = distinct
-    # keys, not events) in pandas: Ray's sort-aggregate spends ~100x
-    # longer per key on this shape (measured 15-23s vs <1s at sf0.1);
-    # at billions of keys, swap for the hash-shuffle Dataset.aggregate
-    out = partials.groupby(["user_id", "hour"], as_index=False).agg(
-        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-    out["n_events"] = out["n_events"].astype(np.int64)
-    out["sum_value"] = round_half_away(out["sum_value"], 3)
-    return out
+    partials = events.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    return _combine_window_partials(partials, ["user_id", "hour"], driver_max)
 
 
 SESSIONIZE_SQL = """
@@ -260,7 +341,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       round(sum(value), 3) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_value
 FROM s
 GROUP BY user_id, sess
 """
@@ -282,16 +363,17 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         brk = g["ts"].diff().isna() | (g["ts"].diff() > gap)
         g["session_id"] = brk.cumsum().astype(np.int64)
+        g["value_c"] = _cents(g["value"].to_numpy())
         out = g.groupby("session_id", as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
-            n_events=("value", "size"),
-            sum_value=("value", "sum"),
+            n_events=("value_c", "size"),
+            value_c=("value_c", "sum"),
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype(np.int64)
-        out["sum_value"] = round_half_away(out["sum_value"], 3)
-        return out
+        out["sum_value"] = round_half_away(out["value_c"] / 100.0, 3)
+        return out.drop(columns=["value_c"])
 
     return events.groupby("user_id", num_partitions=32).map_groups(
         per_user, batch_format="pandas")
@@ -299,7 +381,8 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
 
 NATION_REVENUE_SQL = """
 SELECT n.n_name,
-       round(sum(o.o_totalprice), 3) AS revenue,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 3)
+         AS revenue,
        count(*) AS num_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -330,18 +413,18 @@ def nation_revenue(
         lookup = ray.get(ref)
         nname = batch["o_custkey"].to_pandas().map(lookup)
         df = pd.DataFrame({"n_name": nname,
-                           "price": batch["o_totalprice"].to_pandas()})
+                           "price_c": _cents(batch["o_totalprice"])})
         df = df.dropna(subset=["n_name"])
         g = df.groupby("n_name", as_index=False).agg(
-            revenue=("price", "sum"), num_orders=("price", "size"))
+            price_c=("price_c", "sum"), num_orders=("price_c", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby("n_name", as_index=False).agg(
-        revenue=("revenue", "sum"), num_orders=("num_orders", "sum"))
-    out["revenue"] = round_half_away(out["revenue"], 3)
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
-    return out
+    return out[["n_name", "revenue", "num_orders"]]
 
 
 SLIDING_EVENTS_SQL = """
@@ -349,43 +432,40 @@ SELECT user_id,
        time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
          AS window_start,
        count(*) AS n_events,
-       round(sum(value), 3) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_value
 FROM events, unnest([0, 1, 2, 3]) AS t(k)
 GROUP BY user_id, window_start
 """
 
 
-def sliding_events(events: ray.data.Dataset) -> pd.DataFrame:
+def sliding_events(
+    events: ray.data.Dataset, driver_max: int = WINDOW_DRIVER_COMBINE_MAX
+):
     """Sliding event-time windows (1 h length, 15 min slide) via the
     explode-to-covering-windows pattern: each event is replicated into
     the 4 windows that contain it inside a vectorized ``map_batches``
-    (numpy datetime arithmetic), pre-aggregated per batch, then combined
-    over the partials — no self-join, no range join."""
+    (numpy datetime arithmetic), pre-aggregated per batch (exact int64
+    cents), then size-gated combine — no self-join, no range join."""
     slide = np.timedelta64(15, "m")
 
     def explode_partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False)
         bucket = ts.astype("datetime64[15m]")  # floor to the 15-minute grid
-        n = len(ts)
+        value_c = _cents(batch["value"])
         frames = []
         for k in range(4):
             frames.append(pd.DataFrame({
                 "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
                 "window_start": (bucket - k * slide.astype("timedelta64[15m]"))
                     .astype("datetime64[us]"),
-                "value": batch["value"].to_numpy(zero_copy_only=False),
+                "value_c": value_c,
             }))
         df = pd.concat(frames, ignore_index=True)
         g = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value_raw=("value", "sum"))
+            n_events=("value_c", "size"), value_c=("value_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = events.map_batches(explode_partial, batch_format="pyarrow",
-                                  batch_size=65536).to_pandas()
-    # same combine-partials-in-pandas tradeoff as hourly_events (see note
-    # there): the partial rows are already one-per-key-per-batch
-    out = partials.groupby(["user_id", "window_start"], as_index=False).agg(
-        n_events=("n_events", "sum"), sum_value=("sum_value_raw", "sum"))
-    out["n_events"] = out["n_events"].astype(np.int64)
-    out["sum_value"] = round_half_away(out["sum_value"], 3)
-    return out
+                                  batch_size=65536)
+    return _combine_window_partials(
+        partials, ["user_id", "window_start"], driver_max)
