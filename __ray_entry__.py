@@ -220,7 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": lambda sf: simsearch.knn_lsh(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "knn_ivf": lambda sf: simsearch.knn_ivf(_read(sf, "embeddings", ["vec_id", "embedding"])),
         "embedding_near_dups": lambda sf: simsearch.embedding_near_dups(
-            _read(sf, "embeddings", ["vec_id", "embedding"])
+            simsearch.augment_with_planted(
+                _read(sf, "embeddings", ["vec_id", "embedding"])
+            )
         ),
         # --- relational coverage (SQL-verified) ---
         "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])),
@@ -276,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,
         "knn_brute": simsearch.KNN_BRUTE_SQL,
+        "knn_lsh": simsearch.KNN_LSH_SQL,
+        "knn_ivf": simsearch.KNN_IVF_SQL,
+        "embedding_near_dups": simsearch.EMBEDDING_NEAR_DUPS_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "segment_revenue": relational.SEGMENT_REVENUE_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
