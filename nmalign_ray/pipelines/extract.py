@@ -114,8 +114,24 @@ def read_corpus(path: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=columns)
 
 
+class NonUniqueRefError(ValueError):
+    """A doc_id appeared more than once on one side of the pair join —
+    the counterpart of the reference's ``NonUniqueInputFile``
+    (``/root/reference/nmalign/ocrd/cli.py:64-67``)."""
+
+
+class MissingInputError(ValueError):
+    """A doc_id was present on only one side and ``missing='abort'`` —
+    the counterpart of ``OCRD_MISSING_INPUT=ABORT``
+    (``/root/reference/nmalign/ocrd/cli.py:101-107``)."""
+
+
 def join_refs(
-    inputs: ray.data.Dataset, refs: ray.data.Dataset, num_partitions: int = 16
+    inputs: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    num_partitions: int = 16,
+    missing: str = "skip",
+    on_duplicate: str = "raise",
 ) -> ray.data.Dataset:
     """Two-table form: equi-join input spans with the reference
     segmentation on ``doc_id`` (the reference's per-page pair join O1,
@@ -124,12 +140,31 @@ def join_refs(
     ``Dataset.join`` delegates to Acero, which rejects list<struct>
     payload columns, so this is the portable co-group hash join: tag each
     side, union, and merge per ``doc_id`` group (ONE hash shuffle on the
-    join key).  Documents missing either side are dropped, mirroring
-    ``OCRD_MISSING_INPUT=SKIP`` (``ocrd/cli.py:101-107``).
+    join key).
+
+    Cardinality is ENFORCED, mirroring the reference:
+
+    * ``on_duplicate='raise'`` (default) raises :class:`NonUniqueRefError`
+      when a doc_id repeats on either side (reference
+      ``NonUniqueInputFile``); ``'last'`` keeps the last non-null
+      occurrence (the pre-enforcement behavior).
+    * ``missing='skip'`` (default) drops documents present on only one
+      side (``OCRD_MISSING_INPUT=SKIP``); ``'abort'`` raises
+      :class:`MissingInputError` (``OCRD_MISSING_INPUT=ABORT``).
+
+    The checks run inside the merge group, so enforcement is distributed
+    and surfaces on consumption as a task error wrapping the typed
+    exception.
     """
     import pyarrow as pa
 
     from ..schema import CORPUS_SCHEMA
+
+    if missing not in ("skip", "abort"):
+        raise ValueError(f"missing must be 'skip' or 'abort', got {missing!r}")
+    if on_duplicate not in ("raise", "last"):
+        raise ValueError(
+            f"on_duplicate must be 'raise' or 'last', got {on_duplicate!r}")
 
     def tag_input(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -154,20 +189,35 @@ def join_refs(
         )
 
     def merge(group: pa.Table) -> pa.Table:
+        did = group["doc_id"][0].as_py()
         spans = None
         ref_spans = None
+        n_inputs = 0
+        n_refs = 0
         for k in range(group.num_rows):
             s = group["spans"][k].as_py()
             r = group["ref_spans"][k].as_py()
             if s is not None:
+                n_inputs += 1
                 spans = s
             if r is not None:
+                n_refs += 1
                 ref_spans = r
+        if on_duplicate == "raise" and (n_inputs > 1 or n_refs > 1):
+            side = "input" if n_inputs > 1 else "ref"
+            raise NonUniqueRefError(
+                f"doc_id {did!r} occurs {max(n_inputs, n_refs)} times on the "
+                f"{side} side of the pair join")
         if spans is None or ref_spans is None:
+            if missing == "abort":
+                side = "ref" if spans is not None else "input"
+                raise MissingInputError(
+                    f"doc_id {did!r} has no {side}-side row "
+                    f"(missing='abort')")
             return CORPUS_SCHEMA.empty_table()
         return pa.Table.from_pydict(
             {
-                "doc_id": [group["doc_id"][0].as_py()],
+                "doc_id": [did],
                 "spans": [spans],
                 "ref_spans": [ref_spans],
             },

@@ -8,9 +8,13 @@ spans of a document, in output order, joined by ``"\\n"``; media spans
 contribute a placeholder reference line; the document confidence is the
 mean span score (already carried as ``mean_score``).
 
-The reference's RTL reversal / ``Relation type=join`` cases have no
-counterpart in the span schema (order is explicit via ``offset``; joins
-would be a span-level attribute) and are documented as out of model.
+The reference's ``Relation type=join`` (concatenate WITHOUT the line
+separator, ``/root/reference/nmalign/ocrd/cli.py:354-358``) maps to a
+per-span attribute encoded in the ``kind`` column: a span whose kind
+carries the ``+join`` suffix (e.g. ``"text+join"``) is appended to the
+preceding fragment with no separator.  RTL / bottom-to-top reversal has
+no counterpart (order is explicit via ``offset``) and stays out of
+model.
 """
 
 from __future__ import annotations
@@ -26,14 +30,26 @@ ROLLUP_SCHEMA = pa.schema(
     ]
 )
 
+# kind suffix marking a span that joins the previous fragment without a
+# separator (the columnar form of Relation type=join)
+JOIN_SUFFIX = "+join"
+
 
 def rollup_spans(spans: list[dict]) -> str:
     parts = []
     for s in spans:
+        kind = s.get("kind") or ""
+        joined = kind.endswith(JOIN_SUFFIX)
         if s["media_ref"]:
-            parts.append(f"[{s['kind']}:{s['media_ref']}]")
+            frag = f"[{kind.removesuffix(JOIN_SUFFIX)}:{s['media_ref']}]"
         elif s["text"]:
-            parts.append(s["text"])
+            frag = s["text"]
+        else:
+            continue
+        if joined and parts:
+            parts[-1] += frag
+        else:
+            parts.append(frag)
     return "\n".join(parts)
 
 

@@ -219,3 +219,31 @@ class TestHtmlRobustness:
         assert extract_html_blocks("") == []
         # malformed markup degrades to data (lenient parse), never crashes
         assert extract_html_blocks("<<<>>><&&&") == ["<<<>>><&&&"]
+
+
+class TestRollupJoinRule:
+    def test_join_suffix_concatenates_without_separator(self):
+        # columnar Relation type=join (/root/reference/nmalign/ocrd/cli.py:354-358)
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [
+            {"kind": "text", "text": "zusammen", "media_ref": "", "offset": 0},
+            {"kind": "text+join", "text": "geschrieben", "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "neue zeile", "media_ref": "", "offset": 2},
+        ]
+        assert rollup_spans(spans) == "zusammengeschrieben\nneue zeile"
+
+    def test_join_suffix_on_first_span_starts_fragment(self):
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [{"kind": "text+join", "text": "solo", "media_ref": "", "offset": 0}]
+        assert rollup_spans(spans) == "solo"
+
+    def test_join_suffix_stripped_from_media_marker(self):
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [
+            {"kind": "text", "text": "zeile", "media_ref": "", "offset": 0},
+            {"kind": "image+join", "text": "", "media_ref": "media://x/1", "offset": 1},
+        ]
+        assert rollup_spans(spans) == "zeile[image:media://x/1]"

@@ -156,3 +156,44 @@ class TestConnectedGroups:
         })
         out = dedup.connected_groups(ray_session.data.from_arrow(pairs))
         assert out.count() == 0
+
+
+class TestConnectedGroupsStringIds:
+    def test_string_doc_ids_propagate(self, ray_session):
+        # the engine's own corpus uses string ids ('doc-...'); the label
+        # dtype must follow the input edges (round-1 advice)
+        pairs = pa.Table.from_pydict({
+            "doc_a": pa.array(["doc-b", "doc-c"], pa.string()),
+            "doc_b": pa.array(["doc-a", "doc-d"], pa.string()),
+        })
+        out = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs)).to_pandas()
+        got = dict(zip(out["doc_id"], out["group_id"]))
+        assert got == {"doc-a": "doc-a", "doc-b": "doc-a",
+                       "doc-c": "doc-c", "doc-d": "doc-c"}
+
+
+class TestWindowCombinePaths:
+    def test_distributed_combine_equals_driver_combine(self, ray_session):
+        # the size gate's two paths must agree value-for-value
+        import numpy as np
+        import pandas as pd
+        from nmalign_ray.functions import relational
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        ts = pd.Timestamp("2024-05-01") + pd.to_timedelta(
+            rng.integers(0, 72 * 3600, n), unit="s")
+        tbl = pa.Table.from_pydict({
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+        })
+        ds1 = ray_session.data.from_arrow(tbl)
+        ds2 = ray_session.data.from_arrow(tbl)
+        drv = relational.hourly_events(ds1)
+        dist = relational.hourly_events(ds2, driver_max=0).to_pandas()
+        key = ["user_id", "hour"]
+        a = drv.sort_values(key).reset_index(drop=True)
+        b = dist.sort_values(key).reset_index(drop=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -139,3 +139,72 @@ class TestJoinEdges:
         refs = ray_session.data.from_arrow(corpus.select(["doc_id", "ref_spans"]))
         joined = join_refs(inputs, refs, num_partitions=4)
         assert joined.count() == 8
+
+
+class TestJoinCardinality:
+    def test_duplicate_ref_raises(self, ray_session, corpus):
+        # reference NonUniqueInputFile (/root/reference/nmalign/ocrd/cli.py:64-67)
+        from nmalign_ray.pipelines.extract import NonUniqueRefError
+
+        inputs = ray_session.data.from_arrow(corpus.select(["doc_id", "spans"]))
+        refs_tbl = corpus.select(["doc_id", "ref_spans"])
+        dup = pa.concat_tables([refs_tbl, refs_tbl.slice(0, 1)])
+        refs = ray_session.data.from_arrow(dup)
+        joined = join_refs(inputs, refs, num_partitions=4)
+        with pytest.raises(Exception) as exc:
+            joined.count()
+        assert "NonUniqueRefError" in str(exc.value) or isinstance(
+            exc.value, NonUniqueRefError)
+
+    def test_duplicate_last_mode_keeps_last(self, ray_session, corpus):
+        inputs = ray_session.data.from_arrow(corpus.select(["doc_id", "spans"]))
+        refs_tbl = corpus.select(["doc_id", "ref_spans"])
+        dup = pa.concat_tables([refs_tbl, refs_tbl.slice(0, 1)])
+        refs = ray_session.data.from_arrow(dup)
+        joined = join_refs(inputs, refs, num_partitions=4, on_duplicate="last")
+        assert joined.count() == corpus.num_rows
+
+    def test_missing_abort_raises(self, ray_session, corpus):
+        # OCRD_MISSING_INPUT=ABORT (/root/reference/nmalign/ocrd/cli.py:101-107)
+        from nmalign_ray.pipelines.extract import MissingInputError
+
+        inputs = ray_session.data.from_arrow(corpus.select(["doc_id", "spans"]))
+        refs = ray_session.data.from_arrow(
+            corpus.select(["doc_id", "ref_spans"]).slice(0, 10))
+        joined = join_refs(inputs, refs, num_partitions=4, missing="abort")
+        with pytest.raises(Exception) as exc:
+            joined.count()
+        assert "MissingInputError" in str(exc.value) or isinstance(
+            exc.value, MissingInputError)
+
+    def test_bad_modes_rejected(self, ray_session, corpus):
+        inputs = ray_session.data.from_arrow(corpus.select(["doc_id", "spans"]))
+        refs = ray_session.data.from_arrow(corpus.select(["doc_id", "ref_spans"]))
+        with pytest.raises(ValueError):
+            join_refs(inputs, refs, missing="bogus")
+        with pytest.raises(ValueError):
+            join_refs(inputs, refs, on_duplicate="bogus")
+
+
+class TestGlyphFamily:
+    def test_glyph_output_is_glyph_noised_refs(self, ray_session):
+        # the SQL-reconstruction contract behind extract_align_glyph: the
+        # pipeline emits the RAW glyph-noised candidate per ref segment,
+        # 1:1 in order, at score exactly 1.0
+        from nmalign_ray.corpus import corpus_from_documents, glyph_noise
+
+        texts = ["aufklärung ist der ausgang des menschen aus seiner "
+                 "selbstverschuldeten unmündigkeit größe übermut wörter",
+                 "der mut sich seines verstandes zu bedienen süß schön"]
+        tbl = corpus_from_documents(texts, [0, 1], families=("glyph",))
+        out = build_extract_pipeline(
+            ray_session.data.from_arrow(tbl),
+            EngineConfig(align_concurrency=2),
+        ).to_pandas().sort_values("doc_id")
+        assert (out["mean_score"] == 1.0).all()
+        assert (out["matched"] == out["total"]).all()
+        for text, (_, row) in zip(texts, out.iterrows()):
+            words = text.split()
+            segs = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+            got = [s["text"] for s in row["spans"]]
+            assert got == [glyph_noise(s, None) for s in segs]

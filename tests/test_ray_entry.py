@@ -116,3 +116,22 @@ class TestIvfQuality:
         a = canon(to_pandas(entrymod.queries()["knn_ivf"](SF_DIR)))
         b = canon(to_pandas(entrymod.queries()["knn_ivf"](SF_DIR)))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIvfKmeansQuality:
+    def test_kmeans_quantizer_recall_against_brute(self, ray_session):
+        # the driver query uses the SQL-checkable pivot quantizer; the
+        # trained k-means path keeps its own recall floor here
+        import ray.data
+
+        from nmalign_ray.functions import simsearch
+
+        ds = ray.data.read_parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        brute = to_pandas(entrymod.queries()["knn_brute"](SF_DIR))
+        ivf = to_pandas(simsearch.knn_ivf(ds, quantizer="kmeans"))
+        got = set(zip(ivf.q_id, ivf.vec_id))
+        want = set(zip(brute.q_id, brute.vec_id))
+        recall = len(got & want) / len(want)
+        assert recall >= 0.3, f"k-means IVF recall collapsed: {recall}"
