@@ -153,6 +153,30 @@ def entry() -> Any:
     return _explode_output(_flagship("/root/testdata/sf0.001"))
 
 
+def _media_features_projection(features_ds):
+    """SQL-comparable view of the decode-feature stage: the 16-float
+    feature vector is summarized as an exact mean (integer byte sum /
+    4080 — identical float ops on both sides, no rounding needed)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        sums = [
+            sum(bytes.fromhex(cs)) for cs in batch["checksum"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "checksum": batch["checksum"],
+                "feature_mean": pa.array(
+                    [s / 4080.0 for s in sums], pa.float64()),
+            }
+        )
+
+    return features_ds.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
     from nmalign_ray.functions.textstats import round6
@@ -287,21 +311,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         ),
-        # --- multimodal plumbing (rows-only; decode stubbed) ---
-        "media_features": lambda sf: media.decode_features(
-            __import__("ray").data.from_arrow(media.synth_media_table())
+        # --- multimodal plumbing (codec stubbed behind the strict seam;
+        # the media table derives from documents and the stub's outputs
+        # are md5 arithmetic, so the driver sees exact SQL twins over the
+        # SQL-comparable projection — binary payload columns stay in the
+        # stage outputs and are covered by pytest) ---
+        "media_features": lambda sf: _media_features_projection(
+            media.decode_features(media.media_from_documents(
+                _read(sf, "documents", ["doc_id", "text"])))
         ),
         "media_resize": lambda sf: media.resize_images(
-            __import__("ray").data.from_arrow(media.synth_media_table())
-        ),
+            media.media_from_documents(
+                _read(sf, "documents", ["doc_id", "text"]))
+        ).select_columns(["media_ref", "kind", "width", "height"]),
         "media_frames": lambda sf: media.sample_frames(
-            __import__("ray").data.from_arrow(media.synth_media_table())
-        ),
+            media.media_from_documents(
+                _read(sf, "documents", ["doc_id", "text"]))
+        ).select_columns(["media_ref", "frame_index", "timestamp_ms"]),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from nmalign_ray.functions import dedup, relational, simsearch, textstats
+    from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
 
     return {
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
@@ -332,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
         "sliding_events": relational.SLIDING_EVENTS_SQL,
+        "media_features": media.MEDIA_FEATURES_SQL,
+        "media_resize": media.MEDIA_RESIZE_SQL,
+        "media_frames": media.MEDIA_FRAMES_SQL,
     }
 
 

@@ -37,9 +37,34 @@ FEATURE_SCHEMA = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("checksum", pa.string()),
-        ("feature", pa.list_(pa.float32())),
+        ("feature", pa.list_(pa.float64())),
     ]
 )
+
+
+def media_from_documents(docs, n: int = 32) -> "ray.data.Dataset":
+    """Derive a media table from the ``documents`` table: the first ``n``
+    docs become one media item each, payload = the document's UTF-8
+    bytes.  This makes the media pipeline's INPUT a pure function of a
+    SQL-visible table, so the stub codec's outputs (md5-derived shapes,
+    checksums, features) have exact DuckDB twins — the codec itself is
+    still the documented fake behind the ``strict`` seam."""
+    import pyarrow.compute as pc
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], n))
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "media_ref": [f"media://doc/{d}" for d in ids],
+                "kind": ["image" if d % 2 == 0 else "audio" for d in ids],
+                "payload": [t.encode("utf-8") for t in texts],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
 
 
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
@@ -56,6 +81,60 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
         {"media_ref": refs, "kind": kinds, "payload": payloads},
         schema=MEDIA_SCHEMA,
     )
+
+
+# Exact DuckDB twins over the SQL-comparable projections of the three
+# media stages: the media table derives from documents
+# (media_from_documents), payload = UTF-8 text bytes, and every stub
+# output is md5 arithmetic DuckDB can replay ('0x'||substr(md5(text),..)
+# per byte).  The binary payload columns are excluded (pytest covers
+# them); the codec remains a documented stub.
+_MEDIA_BASE_CTE = """
+WITH m AS (
+  SELECT 'media://doc/' || doc_id AS media_ref,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         md5(text) AS h
+  FROM documents WHERE doc_id < 32
+)
+"""
+
+MEDIA_FEATURES_SQL = _MEDIA_BASE_CTE + """
+SELECT media_ref, kind,
+       CAST(16 + ('0x' || substr(h, 1, 2))::INT AS INTEGER) AS width,
+       CAST(16 + ('0x' || substr(h, 3, 2))::INT AS INTEGER) AS height,
+       h AS checksum,
+       list_aggregate([('0x' || substr(h, 2*i+1, 2))::INT
+                       for i in generate_series(0, 15)], 'sum') / 4080.0
+         AS feature_mean
+FROM m
+"""
+
+MEDIA_RESIZE_SQL = _MEDIA_BASE_CTE + """,
+dims AS (
+  SELECT media_ref, kind,
+         16 + ('0x' || substr(h, 1, 2))::INT AS w,
+         16 + ('0x' || substr(h, 3, 2))::INT AS hh
+  FROM m
+)
+SELECT media_ref, kind,
+       CAST(greatest(1, floor(w * (64.0 / greatest(w, hh)))) AS INTEGER)
+         AS width,
+       CAST(greatest(1, floor(hh * (64.0 / greatest(w, hh)))) AS INTEGER)
+         AS height
+FROM dims
+"""
+
+MEDIA_FRAMES_SQL = _MEDIA_BASE_CTE + """,
+d AS (
+  SELECT media_ref,
+         1000 + ('0x' || substr(h, 1, 4))::INT % 29000 AS dur
+  FROM m
+)
+SELECT media_ref,
+       CAST(i AS INTEGER) AS frame_index,
+       CAST((i * dur) // 4 AS INTEGER) AS timestamp_ms
+FROM d, generate_series(0, 3) AS g(i)
+"""
 
 
 class DecodeStub:
@@ -78,13 +157,14 @@ class DecodeStub:
                 "real image/audio codecs are not available in this environment; "
                 "plug a decoder in here (e.g. PIL.Image.open / soundfile.read)"
             )
-        # deterministic fake: dimensions + features derived from content
-        digest = hashlib.blake2b(payload, digest_size=16).digest()
+        # deterministic fake: dimensions + features derived from content.
+        # md5 rather than blake2b so the DuckDB oracle recomputes the
+        # identical values from the payload's source text
+        # (('0x' || substr(md5(text), 2i+1, 2))::INT per byte)
+        digest = hashlib.md5(payload).digest()
         w = 16 + digest[0]
         h = 16 + digest[1]
-        feat = (
-            np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
-        )
+        feat = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
         return w, h, digest.hex(), feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -160,7 +240,8 @@ class ResizeStub:
                 raise NotImplementedError(
                     "plug a real resampler in here (e.g. PIL Image.resize)"
                 )
-            digest = hashlib.blake2b(payload, digest_size=16).digest()
+            # md5-derived source dims: the DuckDB twin recomputes them
+            digest = hashlib.md5(payload).digest()
             w, h = 16 + digest[0], 16 + digest[1]
             scale = self.max_side / max(w, h)
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -193,8 +274,11 @@ class FrameSampleStub:
                 raise NotImplementedError(
                     "plug a real demuxer in here (e.g. av / ffmpeg bindings)"
                 )
-            # fake duration derived from content: 1-30s
-            dur_ms = 1000 + int.from_bytes(payload[:2], "big") % 29000
+            # fake duration derived from content: 1-30s (md5 head, not
+            # raw payload bytes, so the SQL twin avoids multibyte-text
+            # slicing pitfalls)
+            dur_ms = 1000 + int.from_bytes(
+                hashlib.md5(payload).digest()[:2], "big") % 29000
             for i in range(self.n):
                 ts = i * dur_ms // self.n
                 frame = hashlib.blake2b(
