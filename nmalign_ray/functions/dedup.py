@@ -611,11 +611,15 @@ def connected_groups(
             ds.repartition(num_partitions).to_arrow_refs()
         )
 
-    # label(node) starts as the node's own id
+    # label(node) starts one hop ahead: min(own id, neighbor ids) — the
+    # edge rows already carry both, saving a full propagation round
     labels = _pin(
         edges.map_batches(
             lambda b: pa.Table.from_pydict(
-                {"doc_id": b["src"], "group_id": b["src"]}
+                {"doc_id": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["src"].combine_chunks()]),
+                 "group_id": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()])}
             ),
             batch_format="pyarrow",
         ).groupby("doc_id").aggregate(Min("group_id", alias_name="group_id"))
@@ -638,7 +642,9 @@ def connected_groups(
 
     def propagate(group: pa.Table) -> pa.Table:
         # one label row (peer null) + this node's incident edge rows:
-        # every neighbor (peer) receives this node's current label
+        # every neighbor (peer) receives this node's current label, and
+        # the node re-emits its own label so the downstream min-groupby
+        # needs no separate union with the previous labels
         t = group["node"].type
         label = None
         peers = []
@@ -647,10 +653,11 @@ def connected_groups(
                 label = group["label"][k].as_py()
             else:
                 peers.append(group["peer"][k].as_py())
-        if label is None or not peers:
+        if label is None:
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], t), "group_id": pa.array([], t)}
             )
+        peers.append(group["node"][0].as_py())
         return pa.Table.from_pydict(
             {"doc_id": pa.array(peers, t),
              "group_id": pa.array([label] * len(peers), t)}
@@ -667,8 +674,7 @@ def connected_groups(
             propagate, batch_format="pyarrow"
         )
         labels = _pin(
-            prop.union(labels)  # keep each node's current label in the min
-            .groupby("doc_id", num_partitions=num_partitions)
+            prop.groupby("doc_id", num_partitions=num_partitions)
             .aggregate(Min("group_id", alias_name="group_id"))
         )
         checksum = _label_checksum(labels)

@@ -11,7 +11,11 @@
       "allow_splits": true,
       "salt_threshold": 256,
       "num_partitions": 32,
-      "refs": "/data/refs"                # two-table form: join on doc_id
+      "refs": "/data/refs",               # two-table form: join on doc_id
+      "missing_input": "skip",            # or "abort" (reference
+                                          #  OCRD_MISSING_INPUT semantics)
+      "on_duplicate": "raise"             # or "last" (reference raises
+                                          #  NonUniqueInputFile)
     }
 
 The SAME entrypoint runs unchanged at any cluster size (the north rule's
@@ -77,7 +81,9 @@ def main(argv=None) -> int:
         refs_path = args.refs or doc.get("refs")
         if refs_path:
             ds = join_refs(ds, ray.data.read_parquet(refs_path),
-                           num_partitions=cfg.num_partitions)
+                           num_partitions=cfg.num_partitions,
+                           missing=doc.get("missing_input", "skip"),
+                           on_duplicate=doc.get("on_duplicate", "raise"))
         summary = run_checkpointed(ds, args.output, cfg)
         print(json.dumps(summary))
     finally:

@@ -83,6 +83,29 @@ class TestExtractJob:
         assert summary["num_docs"] == 10
         assert (out / "_manifest").is_dir()
 
+    def test_job_two_table_abort_on_missing(self, tmp_path):
+        # missing_input="abort" in the job config maps to
+        # OCRD_MISSING_INPUT=ABORT semantics and fails the job
+        corpus = generate_corpus(num_docs=6, seed=42)
+        inp = tmp_path / "inputs.parquet"
+        refs = tmp_path / "refs.parquet"
+        pq.write_table(corpus.select(["doc_id", "spans"]), inp)
+        pq.write_table(corpus.select(["doc_id", "ref_spans"]).slice(0, 3), refs)
+        cfgfile = tmp_path / "job.json"
+        cfgfile.write_text(json.dumps(
+            {"num_partitions": 2, "missing_input": "abort"}))
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [sys.executable, "-m", "nmalign_ray.jobs.extract_job",
+             "--input", str(inp), "--output", str(out),
+             "--config", str(cfgfile), "--refs", str(refs)],
+            capture_output=True, text=True, cwd=REPO,
+            env={"RAY_ADDRESS": "local", "PATH": "/usr/bin:/bin",
+                 "HOME": "/root", "PYTHONPATH": REPO},
+        )
+        assert r.returncode != 0
+        assert "MissingInputError" in (r.stderr + r.stdout)
+
 
 class TestCliFilelist:
     def test_filelist_inputs(self, tmp_path):
