@@ -132,12 +132,29 @@ GROUP BY c.c_mktsegment
 """
 
 
+# Dimensions at or below this row count are broadcast with ray.put; above
+# it the join falls back to a co-group hash shuffle on the join key (a
+# broadcast dict of a 10^10-row dimension would sink the driver — the
+# TPC-H customer:lineitem ratio keeps real dimensions far below the gate
+# at test scale, but the gate makes the scale path explicit).
+BROADCAST_DIM_MAX = 5_000_000
+
+
 def segment_revenue(
-    orders: ray.data.Dataset, customer: ray.data.Dataset
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    broadcast_threshold: int = BROADCAST_DIM_MAX,
 ) -> pd.DataFrame:
-    """Broadcast hash join: the customer dimension is ``ray.put`` once and
-    looked up per batch — no shuffle touches the fact table.  Revenue
-    partials are exact int64 cents (order-independent combine)."""
+    """Orders x customer revenue by market segment.
+
+    Size-gated join strategy: when the customer dimension fits the
+    broadcast gate it ships once via ``ray.put`` and the fact table
+    streams with zero shuffle; above the gate both sides co-group on
+    ``c_custkey`` (one hash shuffle of (key, cents) fact rows — never
+    the driver).  Revenue partials are exact int64 cents either way, so
+    the two paths are value-identical."""
+    if customer.count() > broadcast_threshold:
+        return _segment_revenue_cogroup(orders, customer)
     cust = customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
     seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     ref = ray.put(seg_of)
@@ -159,6 +176,63 @@ def segment_revenue(
     out = partials.groupby("c_mktsegment", as_index=False).agg(
         price_c=("price_c", "sum"), num_orders=("num_orders", "sum")
     )
+    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    return out[["c_mktsegment", "revenue", "num_orders"]]
+
+
+def _segment_revenue_cogroup(
+    orders: ray.data.Dataset, customer: ray.data.Dataset
+) -> pd.DataFrame:
+    """Above-the-gate path: co-group fact cents and the dimension row on
+    the join key; each key group emits one (segment, cents, n) partial,
+    combined by segment (a handful of rows) at the end."""
+    def fact_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["o_custkey"],
+             "price_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
+             "c_mktsegment": pa.nulls(batch.num_rows, pa.string())}
+        )
+
+    def dim_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["c_custkey"],
+             "price_c": pa.nulls(batch.num_rows, pa.int64()),
+             "c_mktsegment": batch["c_mktsegment"]}
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        seg = None
+        total = 0
+        n = 0
+        for k in range(group.num_rows):
+            s = group["c_mktsegment"][k].as_py()
+            if s is not None:
+                seg = s
+            else:
+                total += group["price_c"][k].as_py()
+                n += 1
+        if seg is None or n == 0:  # unmatched either side: inner-join drop
+            return pa.Table.from_pydict(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "price_c": pa.array([], pa.int64()),
+                 "num_orders": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {"c_mktsegment": pa.array([seg], pa.string()),
+             "price_c": pa.array([total], pa.int64()),
+             "num_orders": pa.array([n], pa.int64())}
+        )
+
+    tagged = orders.map_batches(fact_rows, batch_format="pyarrow").union(
+        customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+            dim_rows, batch_format="pyarrow")
+    )
+    partials = tagged.groupby("c_custkey").map_groups(
+        per_key, batch_format="pyarrow"
+    ).to_pandas()
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
     out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
     return out[["c_mktsegment", "revenue", "num_orders"]]
@@ -395,11 +469,16 @@ def nation_revenue(
     orders: ray.data.Dataset,
     customer: ray.data.Dataset,
     nation: ray.data.Dataset,
+    broadcast_threshold: int = BROADCAST_DIM_MAX,
 ) -> pd.DataFrame:
-    """Three-table star join: both dimension hops (customer -> nation) are
-    composed into ONE broadcast lookup custkey -> nation name, so the fact
-    table streams through a single map stage with partial aggregation —
-    no shuffle at any join."""
+    """Three-table star join.  Below the gate, both dimension hops
+    (customer -> nation) compose into ONE broadcast lookup custkey ->
+    nation name, so the fact table streams through a single map stage
+    with partial aggregation — no shuffle at any join.  Above the gate
+    the customer hop becomes a co-group hash shuffle on ``c_custkey``
+    (the nation map is always tiny and stays broadcast)."""
+    if customer.count() > broadcast_threshold:
+        return _nation_revenue_cogroup(orders, customer, nation)
     cust = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
     nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
@@ -420,6 +499,70 @@ def nation_revenue(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby("n_name", as_index=False).agg(
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    return out[["n_name", "revenue", "num_orders"]]
+
+
+def _nation_revenue_cogroup(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+) -> pd.DataFrame:
+    """Above-the-gate path: the customer hop co-groups on ``c_custkey``;
+    the tiny nation map resolves nationkey -> name inside the dimension
+    row mapper (broadcast once)."""
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nref = ray.put(name_of)
+
+    def fact_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["o_custkey"],
+             "price_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
+             "n_name": pa.nulls(batch.num_rows, pa.string())}
+        )
+
+    def dim_rows(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(nref)
+        names = [lookup.get(int(k)) for k in batch["c_nationkey"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["c_custkey"],
+             "price_c": pa.nulls(batch.num_rows, pa.int64()),
+             "n_name": pa.array(names, pa.string())}
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        name = None
+        total = 0
+        n = 0
+        for k in range(group.num_rows):
+            if group["price_c"][k].as_py() is None:
+                name = group["n_name"][k].as_py()
+            else:
+                total += group["price_c"][k].as_py()
+                n += 1
+        if name is None or n == 0:
+            return pa.Table.from_pydict(
+                {"n_name": pa.array([], pa.string()),
+                 "price_c": pa.array([], pa.int64()),
+                 "num_orders": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {"n_name": pa.array([name], pa.string()),
+             "price_c": pa.array([total], pa.int64()),
+             "num_orders": pa.array([n], pa.int64())}
+        )
+
+    tagged = orders.map_batches(fact_rows, batch_format="pyarrow").union(
+        customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+            dim_rows, batch_format="pyarrow")
+    )
+    partials = tagged.groupby("c_custkey").map_groups(
+        per_key, batch_format="pyarrow"
+    ).to_pandas()
     out = partials.groupby("n_name", as_index=False).agg(
         price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
     out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)

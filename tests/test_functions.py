@@ -197,3 +197,38 @@ class TestWindowCombinePaths:
         a = drv.sort_values(key).reset_index(drop=True)
         b = dist.sort_values(key).reset_index(drop=True)[a.columns]
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestJoinSizeGate:
+    def test_cogroup_paths_match_broadcast_paths(self, ray_session):
+        import ray.data
+        from nmalign_ray.functions import relational
+
+        sf = "/root/testdata/sf0.001"
+        def rd(t, cols):
+            return ray.data.read_parquet(f"{sf}/{t}.parquet", columns=cols)
+
+        a = relational.segment_revenue(
+            rd("orders", ["o_custkey", "o_totalprice"]),
+            rd("customer", ["c_custkey", "c_mktsegment"]))
+        b = relational.segment_revenue(
+            rd("orders", ["o_custkey", "o_totalprice"]),
+            rd("customer", ["c_custkey", "c_mktsegment"]),
+            broadcast_threshold=0)
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            a.sort_values("c_mktsegment").reset_index(drop=True),
+            b.sort_values("c_mktsegment").reset_index(drop=True))
+
+        c = relational.nation_revenue(
+            rd("orders", ["o_custkey", "o_totalprice"]),
+            rd("customer", ["c_custkey", "c_nationkey"]),
+            rd("nation", ["n_nationkey", "n_name"]))
+        d = relational.nation_revenue(
+            rd("orders", ["o_custkey", "o_totalprice"]),
+            rd("customer", ["c_custkey", "c_nationkey"]),
+            rd("nation", ["n_nationkey", "n_name"]),
+            broadcast_threshold=0)
+        pd.testing.assert_frame_equal(
+            c.sort_values("n_name").reset_index(drop=True),
+            d.sort_values("n_name").reset_index(drop=True))
