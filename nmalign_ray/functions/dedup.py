@@ -119,8 +119,26 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
+# Buckets larger than this emit no pairs (with a log line): pair emission
+# is quadratic in bucket size, and a degenerate bucket — thousands of
+# near-identical boilerplate documents sharing a band hash — would turn
+# one group into billions of rows at corpus scale.  Such clusters are
+# exact-dedup territory (hash the content, keep one), not pairwise
+# near-dup territory.  Far above anything the test corpora produce
+# (largest observed bucket at sf0.1: <10 docs), so oracles are unaffected.
+MAX_LSH_BUCKET = 4096
+
+
+def _bucket_pairs(group: pa.Table, max_bucket: int = MAX_LSH_BUCKET) -> pa.Table:
     ids = sorted(set(group["doc_id"].to_pylist()))
+    if len(ids) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash bucket with %d docs exceeds max_bucket=%d; skipping "
+            "pair emission for it (exact-dedup first to collapse clones)",
+            len(ids), max_bucket)
+        ids = []
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -372,6 +390,13 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Da
         rows = sorted(
             set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
         )
+        if len(rows) > MAX_LSH_BUCKET:  # see _bucket_pairs rationale
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash band bucket with %d docs exceeds %d; skipping",
+                len(rows), MAX_LSH_BUCKET)
+            rows = []
         a, b, d = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):

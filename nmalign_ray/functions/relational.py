@@ -248,19 +248,26 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 def inactive_customers(
-    customer: ray.data.Dataset, orders: ray.data.Dataset
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    broadcast_threshold: int = BROADCAST_DIM_MAX,
 ) -> pd.DataFrame:
-    """Anti join via broadcast key set: customers with no urgent orders
-    (the reference's side-2 unmatched detection O6 is the same shape,
-    ``/root/reference/nmalign/ocrd/cli.py:235-236``).  The key set is
-    pre-filtered and distinct'ed before broadcast, so only (distinct)
-    keys ship, never the fact table."""
+    """Anti join: customers with no urgent orders (the reference's side-2
+    unmatched detection O6 is the same shape,
+    ``/root/reference/nmalign/ocrd/cli.py:235-236``).
+
+    Size-gated like the dimension joins: the distinct urgent-key set is
+    broadcast while it fits the gate; above it, both sides co-group on
+    ``c_custkey`` and a group emits its customer row only when no urgent
+    marker landed in it — no key set ever collects to the driver."""
     urgent = orders.map_batches(
         lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
             ["o_custkey"]
         ),
         batch_format="pyarrow",
     )
+    if customer.count() > broadcast_threshold:
+        return _inactive_customers_cogroup(customer, urgent)
     keys = urgent.to_pandas()["o_custkey"].unique()
     ref = ray.put(frozenset(int(k) for k in keys))
 
@@ -271,6 +278,42 @@ def inactive_customers(
             ["c_custkey", "c_name"])
 
     out = customer.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out
+
+
+def _inactive_customers_cogroup(
+    customer: ray.data.Dataset, urgent: ray.data.Dataset
+) -> pd.DataFrame:
+    """Above-the-gate anti join: hash shuffle of (key, name?) rows."""
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["c_custkey"], "c_name": batch["c_name"]}
+        )
+
+    def marker_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"c_custkey": batch["o_custkey"],
+             "c_name": pa.nulls(batch.num_rows, pa.string())}
+        )
+
+    def anti_group(group: pa.Table) -> pa.Table:
+        names = [group["c_name"][k].as_py() for k in range(group.num_rows)]
+        if any(n is None for n in names):  # an urgent marker hit this key
+            return pa.Table.from_pydict(
+                {"c_custkey": pa.array([], group["c_custkey"].type),
+                 "c_name": pa.array([], pa.string())}
+            )
+        return group
+
+    tagged = customer.select_columns(["c_custkey", "c_name"]).map_batches(
+        cust_rows, batch_format="pyarrow"
+    ).union(urgent.map_batches(marker_rows, batch_format="pyarrow"))
+    out = tagged.groupby("c_custkey").map_groups(
+        anti_group, batch_format="pyarrow"
+    ).to_pandas()
     if out.empty:
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})

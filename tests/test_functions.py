@@ -232,3 +232,14 @@ class TestJoinSizeGate:
         pd.testing.assert_frame_equal(
             c.sort_values("n_name").reset_index(drop=True),
             d.sort_values("n_name").reset_index(drop=True))
+
+        e = relational.inactive_customers(
+            rd("customer", ["c_custkey", "c_name"]),
+            rd("orders", ["o_custkey", "o_orderpriority"]))
+        f = relational.inactive_customers(
+            rd("customer", ["c_custkey", "c_name"]),
+            rd("orders", ["o_custkey", "o_orderpriority"]),
+            broadcast_threshold=0)
+        pd.testing.assert_frame_equal(
+            e.sort_values("c_custkey").reset_index(drop=True),
+            f.sort_values("c_custkey").reset_index(drop=True))
