@@ -595,11 +595,14 @@ def connected_groups(
 
     Runs until the label assignment is a fixed point (labels only ever
     decrease, so the order-independent checksum repeating means exact
-    convergence) — by default unbounded, reaching the fix point in
-    O(component diameter) rounds; ``max_rounds`` is a safety valve that
-    logs a warning if it truncates a still-converging run (round-1
-    advice: templated-text near-dup graphs commonly chain longer than
-    any fixed small default).
+    convergence) — by default unbounded; ``max_rounds`` is a safety
+    valve that logs a warning if it truncates a still-converging run
+    (round-1 advice: templated-text near-dup graphs commonly chain
+    longer than any fixed small default).  Each round combines edge
+    propagation with POINTER DOUBLING — label(n) also jumps to
+    label(label(n)) via a second co-group keyed on the current label —
+    so convergence needs O(log diameter) rounds, not O(diameter)
+    (a 64-node chain converges in ~7 rounds instead of 64).
 
     Iteration hygiene (measured, not theoretical): each round's label
     dataset is re-rooted at its concrete Arrow block refs AND
@@ -688,13 +691,24 @@ def connected_groups(
              "group_id": pa.array([label] * len(peers), t)}
         )
 
+    def to_jump_ask(batch: pa.Table) -> pa.Table:
+        # ask at the CURRENT LABEL's node: "what is your label?" — the
+        # answer relabels the asker (pointer doubling)
+        t = batch["doc_id"].type
+        return pa.Table.from_pydict(
+            {"node": batch["group_id"], "peer": batch["doc_id"],
+             "label": pa.nulls(batch.num_rows, t)}
+        )
+
     rounds = 0
     converged = False
     while max_rounds is None or rounds < max_rounds:
         rounds += 1
-        cogrouped = edges.map_batches(
-            to_edge_side, batch_format="pyarrow"
-        ).union(labels.map_batches(to_label_side, batch_format="pyarrow"))
+        cogrouped = (
+            edges.map_batches(to_edge_side, batch_format="pyarrow")
+            .union(labels.map_batches(to_jump_ask, batch_format="pyarrow"))
+            .union(labels.map_batches(to_label_side, batch_format="pyarrow"))
+        )
         prop = cogrouped.groupby("node", num_partitions=num_partitions).map_groups(
             propagate, batch_format="pyarrow"
         )

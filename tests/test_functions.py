@@ -243,3 +243,23 @@ class TestJoinSizeGate:
         pd.testing.assert_frame_equal(
             e.sort_values("c_custkey").reset_index(drop=True),
             f.sort_values("c_custkey").reset_index(drop=True))
+
+
+class TestConnectedGroupsDoubling:
+    def test_long_chain_converges_in_log_rounds(self, ray_session):
+        # 48-node chain: pointer doubling must reach the fixpoint well
+        # under the linear-propagation round count
+        import time
+
+        n = 48
+        pairs = pa.Table.from_pydict(
+            {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
+        t0 = time.time()
+        out = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs)).to_pandas()
+        took = time.time() - t0
+        assert sorted(out["group_id"].unique()) == [0]
+        assert len(out) == n
+        # linear propagation needed ~n rounds x >=1s; doubling needs
+        # O(log n) ~ 7 — allow generous slack for shared-host jitter
+        assert took < 60, f"suspiciously slow for pointer doubling: {took:.0f}s"
