@@ -229,6 +229,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rollup_documents(out)
 
+    def extract_align_ocr(sf_dir):
+        # the full distributed pipeline on the ocr family: deterministic
+        # confusable noise that normalization can NOT undo — similarity
+        # scores fall below 1.0 and the greedy monotonic assignment does
+        # real work — while the expected raw output is still a nested
+        # SQL replace (applied 'n'->'u' first so 'm'->'rn' cannot
+        # cascade, matching the per-original-char python map)
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("ocr",)), EngineConfig()
+        )
+        return _explode_output(out)
+
     def extract_align_glyph(sf_dir):
         # the full distributed pipeline on the glyph family: candidates
         # carry deterministic historical-glyph noise that normalization
@@ -263,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_text": rollup_text,
         "extract_align_identity": extract_align_identity,
         "extract_align_glyph": extract_align_glyph,
+        "extract_align_ocr": extract_align_ocr,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents", ["doc_id", "text"])),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents", ["doc_id", "text"])),
@@ -337,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
         "extract_align_glyph": EXTRACT_ALIGN_GLYPH_SQL,
+        "extract_align_ocr": EXTRACT_ALIGN_OCR_SQL,
         "align_metrics": ALIGN_METRICS_SQL,
         "rollup_text": ROLLUP_TEXT_SQL,
         "normalize_docs": textstats.NORMALIZE_SQL,
@@ -428,6 +445,41 @@ x AS (
 )
 SELECT doc_id, "order", 'text' AS kind,
        {_GLYPH_REPLACE} AS text,
+       '' AS media_ref
+FROM x
+"""
+
+# OCR family: the emitted text is the deterministically
+# confusable-corrupted segment.  Replace order matters: 'n'->'u' runs
+# FIRST so the 'n' introduced by 'm'->'rn' survives, replicating the
+# engine's per-original-char map exactly.
+_OCR_REPLACE = "seg"
+for _plain, _noisy in (
+    ("n", "u"), ("e", "c"), ("o", "0"), ("m", "rn"), ("i", "l"), ("t", "f"),
+):
+    _OCR_REPLACE = f"replace({_OCR_REPLACE}, '{_plain}', '{_noisy}')"
+
+EXTRACT_ALIGN_OCR_SQL = f"""
+WITH d AS (
+  SELECT 'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+),
+x AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+         unnest(seglist) AS seg
+  FROM segs
+)
+SELECT doc_id, "order", 'text' AS kind,
+       {_OCR_REPLACE} AS text,
        '' AS media_ref
 FROM x
 """

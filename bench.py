@@ -85,7 +85,7 @@ def run_bench() -> dict:
     # families the alignment queries run on), warm the page cache
     n_docs = entry.derived_corpus(SF_DIR).count() * max(1, REPLICAS)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for fams in (("identity",), ("glyph",), ("identity", "glyph")):
+        for fams in (("identity",), ("glyph",), ("ocr",), ("identity", "glyph")):
             entry.derived_corpus(SF_DIR, families=fams).count()
 
     out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"
@@ -123,6 +123,7 @@ def run_bench() -> dict:
         "dedup_keepers",
         "extract_align_identity",
         "extract_align_glyph",
+        "extract_align_ocr",
         "align_metrics",
         "rollup_text",
     )

@@ -68,6 +68,12 @@ def glyph_noise(s: str, rng: np.random.Generator) -> str:
     return s
 
 
+def ocr_noise(s: str) -> str:
+    """Deterministic OCR confusables at rate 1.0: every ORIGINAL char is
+    mapped once (no cascading — the 'n' inside 'rn' from 'm' stays)."""
+    return "".join(RESIDUAL_NOISE.get(ch, ch) for ch in s)
+
+
 def residual_noise(s: str, rng: np.random.Generator, rate: float = 0.05) -> str:
     out = []
     for ch in s:
@@ -302,10 +308,17 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
             # — normalization reverses it exactly, so the expected RAW
             # output (glyph-noised segments, score 100, 1:1 order) is a
             # nested-replace away from SQL, giving the alignment path a
-            # hash-verifiable non-identity oracle family
+            # hash-verifiable non-identity oracle family.
+            # "ocr": deterministic rate-1.0 OCR confusables (per ORIGINAL
+            # char, so 'm'->'rn' does not cascade into 'n'->'u') —
+            # normalization can NOT reverse these, so scores land below
+            # 1.0 and the greedy assignment is exercised for real, yet
+            # the expected output stays SQL-reconstructible (nested
+            # replace with 'n'->'u' applied first)
             corrupt = (
                 (lambda s: s) if family == "identity"
                 else (lambda s: glyph_noise(s, rng)) if family == "glyph"
+                else ocr_noise if family == "ocr"
                 else (lambda s: _corrupt(s, rng))
             )
             ref_spans.append({"kind": "text", "text": segs[i], "media_ref": "",
