@@ -244,6 +244,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _explode_output(out)
 
+    def extract_align_trimix(sf_dir):
+        # heterogeneous corpus: per-doc family dispatch over the three
+        # oracle families (doc_id % 3 -> identity / glyph / ocr), so one
+        # hash-verified query covers a MIXED corpus the way the full
+        # flagship runs one — different noise regimes inside the same
+        # Dataset, batches spanning families
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(sf_dir, families=("identity", "glyph", "ocr")),
+            EngineConfig(),
+        )
+        return _explode_output(out)
+
     def extract_align_glyph(sf_dir):
         # the full distributed pipeline on the glyph family: candidates
         # carry deterministic historical-glyph noise that normalization
@@ -279,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_align_identity": extract_align_identity,
         "extract_align_glyph": extract_align_glyph,
         "extract_align_ocr": extract_align_ocr,
+        "extract_align_trimix": extract_align_trimix,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents", ["doc_id", "text"])),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents", ["doc_id", "text"])),
@@ -354,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
         "extract_align_glyph": EXTRACT_ALIGN_GLYPH_SQL,
         "extract_align_ocr": EXTRACT_ALIGN_OCR_SQL,
+        "extract_align_trimix": EXTRACT_ALIGN_TRIMIX_SQL,
         "align_metrics": ALIGN_METRICS_SQL,
         "rollup_text": ROLLUP_TEXT_SQL,
         "normalize_docs": textstats.NORMALIZE_SQL,
@@ -480,6 +497,39 @@ x AS (
 )
 SELECT doc_id, "order", 'text' AS kind,
        {_OCR_REPLACE} AS text,
+       '' AS media_ref
+FROM x
+"""
+
+# Mixed three-family corpus: family = doc_id % 3 over
+# ("identity", "glyph", "ocr") — replicating corpus_from_documents'
+# key-based dispatch — with the matching per-family text expression.
+EXTRACT_ALIGN_TRIMIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS key,
+         'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT key, doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+),
+x AS (
+  SELECT key, doc_id,
+         CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+         unnest(seglist) AS seg
+  FROM segs
+)
+SELECT doc_id, "order", 'text' AS kind,
+       CASE key % 3
+         WHEN 0 THEN seg
+         WHEN 1 THEN {_GLYPH_REPLACE}
+         ELSE {_OCR_REPLACE}
+       END AS text,
        '' AS media_ref
 FROM x
 """
