@@ -85,7 +85,8 @@ def run_bench() -> dict:
     # families the alignment queries run on), warm the page cache
     n_docs = entry.derived_corpus(SF_DIR).count() * max(1, REPLICAS)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for fams in (("identity",), ("glyph",), ("ocr",), ("identity", "glyph")):
+        for fams in (("identity",), ("glyph",), ("ocr",),
+                     ("identity", "glyph"), ("identity", "glyph", "ocr")):
             entry.derived_corpus(SF_DIR, families=fams).count()
 
     out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"
@@ -124,6 +125,7 @@ def run_bench() -> dict:
         "extract_align_identity",
         "extract_align_glyph",
         "extract_align_ocr",
+        "extract_align_trimix",
         "align_metrics",
         "rollup_text",
     )
