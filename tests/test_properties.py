@@ -65,3 +65,39 @@ def test_identity_is_fixed_point(l):
     if unique:
         assert res.tolist() == list(range(len(l)))
     assert np.allclose(scores[res >= 0], 1.0)
+
+
+words = st.lists(
+    st.text(alphabet="abcdefghimnorstuüäöß", min_size=1, max_size=8),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ws=words)
+def test_glyph_noise_is_normalization_reversible(ws):
+    # the invariant the extract_align_glyph oracle rests on: applying the
+    # engine's default normalization to glyph-noised text recovers the
+    # original exactly (score-1.0 matches, raw noised text emitted)
+    from nmalign_ray.align.core import make_preprocessor
+    from nmalign_ray.corpus import glyph_noise
+    from nmalign_ray.schema import DEFAULT_NORMALIZATION
+
+    s = " ".join(ws)
+    prep = make_preprocessor(DEFAULT_NORMALIZATION)
+    assert prep(glyph_noise(s, None)) == prep(s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ws=words)
+def test_ocr_noise_matches_sequential_replace_order(ws):
+    # the invariant the extract_align_ocr oracle rests on: the engine's
+    # per-original-char map equals sequential replaces with 'n'->'u'
+    # applied first (the exact order the SQL twin uses)
+    from nmalign_ray.corpus import ocr_noise
+
+    s = " ".join(ws)
+    t = s
+    for plain, noisy in (("n", "u"), ("e", "c"), ("o", "0"),
+                         ("m", "rn"), ("i", "l"), ("t", "f")):
+        t = t.replace(plain, noisy)
+    assert ocr_noise(s) == t
