@@ -215,9 +215,27 @@ def minhash_near_dups(
     doc's shingle list per membership), then a second shuffle on the
     pair key brings the two shingle lists together for the exact-Jaccard
     check.  Nothing is collected to the driver and no broadcast grows
-    with the corpus — the only payload that shuffles is the candidate
-    documents' shingle lists."""
-    pairs = minhash_candidate_pairs(ds)
+    with the corpus.  Cost model, stated precisely: the FIRST co-group
+    shuffle moves the whole documents table's text once (every doc must
+    meet its memberships, including docs that turn out to have none);
+    the second moves only the candidate docs' shingle lists.  One full
+    hash pass over the corpus is the price of zero driver state — the
+    same price exact_dedup pays."""
+    pairs = minhash_candidate_pairs(ds).materialize()
+    if pairs.count() == 0:
+        # typed empty result (the lazy pipeline would otherwise yield a
+        # schema-less dataset, and downstream connected_groups would
+        # fall back to int64 labels even for string doc ids)
+        sch = ds.schema()
+        id_t = (dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+                if sch is not None else pa.int64())
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_a": pa.array([], id_t),
+                 "doc_b": pa.array([], id_t),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
 
     def pair_sides(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].combine_chunks()
@@ -246,15 +264,16 @@ def minhash_near_dups(
 
     def attach_shingles(group: pa.Table) -> pa.Table:
         t = group["doc_id"].type
+        pair_a = group["pair_a"].to_pylist()  # one to_pylist per column,
+        pair_b = group["pair_b"].to_pylist()  # not one Arrow scalar per cell
+        texts = group["text"].to_pylist()
         text = None
         memberships = []
         for k in range(group.num_rows):
-            if group["pair_a"][k].as_py() is None:
-                text = group["text"][k].as_py()
+            if pair_a[k] is None:
+                text = texts[k]
             else:
-                memberships.append(
-                    (group["pair_a"][k].as_py(), group["pair_b"][k].as_py())
-                )
+                memberships.append((pair_a[k], pair_b[k]))
         if text is None or not memberships:
             return pa.Table.from_pydict(
                 {"pair_a": pa.array([], t), "pair_b": pa.array([], t),
@@ -674,13 +693,15 @@ def connected_groups(
         # the node re-emits its own label so the downstream min-groupby
         # needs no separate union with the previous labels
         t = group["node"].type
+        peer_vals = group["peer"].to_pylist()
+        label_vals = group["label"].to_pylist()
         label = None
         peers = []
         for k in range(group.num_rows):
-            if group["peer"][k].as_py() is None:
-                label = group["label"][k].as_py()
+            if peer_vals[k] is None:
+                label = label_vals[k]
             else:
-                peers.append(group["peer"][k].as_py())
+                peers.append(peer_vals[k])
         if label is None:
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], t), "group_id": pa.array([], t)}

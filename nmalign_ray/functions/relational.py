@@ -181,61 +181,76 @@ def segment_revenue(
     return out[["c_mktsegment", "revenue", "num_orders"]]
 
 
-def _segment_revenue_cogroup(
-    orders: ray.data.Dataset, customer: ray.data.Dataset
+def _cogroup_revenue_join(
+    orders: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    dim_batch_to_label,
+    label_col: str,
 ) -> pd.DataFrame:
-    """Above-the-gate path: co-group fact cents and the dimension row on
-    the join key; each key group emits one (segment, cents, n) partial,
-    combined by segment (a handful of rows) at the end."""
+    """Shared above-the-gate revenue join: fact cents and dimension label
+    rows co-group on ``c_custkey``, tagged with an EXPLICIT ``is_dim``
+    flag (a null-sentinel encoding would misread genuinely-NULL label
+    values as fact rows); each key group emits one (label, cents, n)
+    partial, combined by label (a handful of rows) at the end.  Key
+    groups whose dimension label is missing or NULL are dropped, like
+    the broadcast path's dropna."""
     def fact_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"c_custkey": batch["o_custkey"],
              "price_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
-             "c_mktsegment": pa.nulls(batch.num_rows, pa.string())}
+             label_col: pa.nulls(batch.num_rows, pa.string()),
+             "is_dim": pa.array([False] * batch.num_rows, pa.bool_())}
         )
 
     def dim_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"c_custkey": batch["c_custkey"],
              "price_c": pa.nulls(batch.num_rows, pa.int64()),
-             "c_mktsegment": batch["c_mktsegment"]}
+             label_col: dim_batch_to_label(batch),
+             "is_dim": pa.array([True] * batch.num_rows, pa.bool_())}
         )
 
     def per_key(group: pa.Table) -> pa.Table:
-        seg = None
-        total = 0
-        n = 0
-        for k in range(group.num_rows):
-            s = group["c_mktsegment"][k].as_py()
-            if s is not None:
-                seg = s
-            else:
-                total += group["price_c"][k].as_py()
-                n += 1
-        if seg is None or n == 0:  # unmatched either side: inner-join drop
+        is_dim = group["is_dim"].to_pylist()
+        labels = group[label_col].to_pylist()
+        cents = group["price_c"].to_pylist()
+        label = next((l for d, l in zip(is_dim, labels) if d and l is not None),
+                     None)
+        fact_cents = [c for d, c in zip(is_dim, cents) if not d]
+        if label is None or not fact_cents:  # unmatched side: inner-join drop
             return pa.Table.from_pydict(
-                {"c_mktsegment": pa.array([], pa.string()),
+                {label_col: pa.array([], pa.string()),
                  "price_c": pa.array([], pa.int64()),
                  "num_orders": pa.array([], pa.int64())}
             )
         return pa.Table.from_pydict(
-            {"c_mktsegment": pa.array([seg], pa.string()),
-             "price_c": pa.array([total], pa.int64()),
-             "num_orders": pa.array([n], pa.int64())}
+            {label_col: pa.array([label], pa.string()),
+             "price_c": pa.array([sum(fact_cents)], pa.int64()),
+             "num_orders": pa.array([len(fact_cents)], pa.int64())}
         )
 
     tagged = orders.map_batches(fact_rows, batch_format="pyarrow").union(
-        customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
-            dim_rows, batch_format="pyarrow")
+        dim.map_batches(dim_rows, batch_format="pyarrow")
     )
     partials = tagged.groupby("c_custkey").map_groups(
         per_key, batch_format="pyarrow"
     ).to_pandas()
-    out = partials.groupby("c_mktsegment", as_index=False).agg(
+    out = partials.groupby(label_col, as_index=False).agg(
         price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
     out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
-    return out[["c_mktsegment", "revenue", "num_orders"]]
+    return out[[label_col, "revenue", "num_orders"]]
+
+
+def _segment_revenue_cogroup(
+    orders: ray.data.Dataset, customer: ray.data.Dataset
+) -> pd.DataFrame:
+    return _cogroup_revenue_join(
+        orders,
+        customer.select_columns(["c_custkey", "c_mktsegment"]),
+        lambda batch: batch["c_mktsegment"],
+        "c_mktsegment",
+    )
 
 
 INACTIVE_CUSTOMERS_SQL = """
@@ -287,26 +302,31 @@ def inactive_customers(
 def _inactive_customers_cogroup(
     customer: ray.data.Dataset, urgent: ray.data.Dataset
 ) -> pd.DataFrame:
-    """Above-the-gate anti join: hash shuffle of (key, name?) rows."""
+    """Above-the-gate anti join: hash shuffle of (key, name, is_marker)
+    rows — the explicit marker flag keeps a customer whose ``c_name``
+    happens to be NULL from masquerading as an urgent marker."""
     def cust_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
-            {"c_custkey": batch["c_custkey"], "c_name": batch["c_name"]}
+            {"c_custkey": batch["c_custkey"], "c_name": batch["c_name"],
+             "is_marker": pa.array([False] * batch.num_rows, pa.bool_())}
         )
 
     def marker_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"c_custkey": batch["o_custkey"],
-             "c_name": pa.nulls(batch.num_rows, pa.string())}
+             "c_name": pa.nulls(batch.num_rows, pa.string()),
+             "is_marker": pa.array([True] * batch.num_rows, pa.bool_())}
         )
 
     def anti_group(group: pa.Table) -> pa.Table:
-        names = [group["c_name"][k].as_py() for k in range(group.num_rows)]
-        if any(n is None for n in names):  # an urgent marker hit this key
+        import pyarrow.compute as pc
+
+        if pc.any(group["is_marker"]).as_py():  # an urgent order hit this key
             return pa.Table.from_pydict(
                 {"c_custkey": pa.array([], group["c_custkey"].type),
                  "c_name": pa.array([], pa.string())}
             )
-        return group
+        return group.select(["c_custkey", "c_name"])
 
     tagged = customer.select_columns(["c_custkey", "c_name"]).map_batches(
         cust_rows, batch_format="pyarrow"
@@ -376,7 +396,9 @@ def _combine_window_partials(
     """Combine (keys..., n_events, value_c) int64 partials into the final
     (keys..., n_events, sum_value) result.  Driver pandas below
     ``driver_max`` partial rows, distributed ``Dataset.aggregate`` above —
-    both paths sum exact int64 cents, so they are value-identical."""
+    both paths sum exact int64 cents, so they are value-identical, and
+    both RETURN a Dataset so the gate never changes the caller-visible
+    type as data grows."""
     from ray.data.aggregate import Sum
 
     parts = partials.materialize()
@@ -386,7 +408,7 @@ def _combine_window_partials(
             n_events=("n_events", "sum"), value_c=("value_c", "sum"))
         out["n_events"] = out["n_events"].astype(np.int64)
         out["sum_value"] = round_half_away(out["value_c"] / 100.0, 3)
-        return out.drop(columns=["value_c"])
+        return ray.data.from_pandas(out.drop(columns=["value_c"]))
 
     agg = parts.groupby(keys).aggregate(
         Sum("n_events", alias_name="n_events"),
@@ -561,56 +583,18 @@ def _nation_revenue_cogroup(
     name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
     nref = ray.put(name_of)
 
-    def fact_rows(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"c_custkey": batch["o_custkey"],
-             "price_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
-             "n_name": pa.nulls(batch.num_rows, pa.string())}
-        )
-
-    def dim_rows(batch: pa.Table) -> pa.Table:
+    def to_name(batch: pa.Table) -> pa.Array:
         lookup = ray.get(nref)
-        names = [lookup.get(int(k)) for k in batch["c_nationkey"].to_pylist()]
-        return pa.Table.from_pydict(
-            {"c_custkey": batch["c_custkey"],
-             "price_c": pa.nulls(batch.num_rows, pa.int64()),
-             "n_name": pa.array(names, pa.string())}
-        )
+        return pa.array(
+            [lookup.get(int(k)) for k in batch["c_nationkey"].to_pylist()],
+            pa.string())
 
-    def per_key(group: pa.Table) -> pa.Table:
-        name = None
-        total = 0
-        n = 0
-        for k in range(group.num_rows):
-            if group["price_c"][k].as_py() is None:
-                name = group["n_name"][k].as_py()
-            else:
-                total += group["price_c"][k].as_py()
-                n += 1
-        if name is None or n == 0:
-            return pa.Table.from_pydict(
-                {"n_name": pa.array([], pa.string()),
-                 "price_c": pa.array([], pa.int64()),
-                 "num_orders": pa.array([], pa.int64())}
-            )
-        return pa.Table.from_pydict(
-            {"n_name": pa.array([name], pa.string()),
-             "price_c": pa.array([total], pa.int64()),
-             "num_orders": pa.array([n], pa.int64())}
-        )
-
-    tagged = orders.map_batches(fact_rows, batch_format="pyarrow").union(
-        customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
-            dim_rows, batch_format="pyarrow")
+    return _cogroup_revenue_join(
+        orders,
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        to_name,
+        "n_name",
     )
-    partials = tagged.groupby("c_custkey").map_groups(
-        per_key, batch_format="pyarrow"
-    ).to_pandas()
-    out = partials.groupby("n_name", as_index=False).agg(
-        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
-    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
-    out["num_orders"] = out["num_orders"].astype(np.int64)
-    return out[["n_name", "revenue", "num_orders"]]
 
 
 SLIDING_EVENTS_SQL = """

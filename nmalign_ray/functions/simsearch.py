@@ -307,9 +307,12 @@ def augment_with_planted(ds: ray.data.Dataset) -> ray.data.Dataset:
     def plant(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less(batch["vec_id"], NEARDUP_PLANT_COUNT))
         if batch.num_rows == 0:
+            # typed float64 like the non-empty branches — an empty block
+            # typed as the source list<float32> would splinter the union
+            # schema on multi-block inputs
             return pa.Table.from_pydict(
                 {"vec_id": pa.array([], pa.int64()),
-                 "embedding": pa.array([], batch["embedding"].type)}
+                 "embedding": pa.array([], pa.list_(pa.float64()))}
             )
         emb = _stack_embeddings(batch)  # float64
         emb[:, 0] += NEARDUP_PLANT_DELTA

@@ -191,7 +191,7 @@ class TestWindowCombinePaths:
         })
         ds1 = ray_session.data.from_arrow(tbl)
         ds2 = ray_session.data.from_arrow(tbl)
-        drv = relational.hourly_events(ds1)
+        drv = relational.hourly_events(ds1).to_pandas()
         dist = relational.hourly_events(ds2, driver_max=0).to_pandas()
         key = ["user_id", "hour"]
         a = drv.sort_values(key).reset_index(drop=True)
