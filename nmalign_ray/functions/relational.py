@@ -234,9 +234,18 @@ def _cogroup_revenue_join(
     )
     partials = tagged.groupby("c_custkey").map_groups(
         per_key, batch_format="pyarrow"
-    ).to_pandas()
-    out = partials.groupby(label_col, as_index=False).agg(
-        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+    )
+    # per-key partials number one per distinct join key — dimension-sized,
+    # which is exactly why this path exists — so the label combine runs
+    # distributed; only the per-LABEL result (a handful of rows) lands on
+    # the driver
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(label_col).aggregate(
+        Sum("price_c", alias_name="price_c"),
+        Sum("num_orders", alias_name="num_orders"),
+    )
+    out = agg.to_pandas()
     out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
     return out[[label_col, "revenue", "num_orders"]]
@@ -266,7 +275,7 @@ def inactive_customers(
     customer: ray.data.Dataset,
     orders: ray.data.Dataset,
     broadcast_threshold: int = BROADCAST_DIM_MAX,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Anti join: customers with no urgent orders (the reference's side-2
     unmatched detection O6 is the same shape,
     ``/root/reference/nmalign/ocrd/cli.py:235-236``).
@@ -274,7 +283,10 @@ def inactive_customers(
     Size-gated like the dimension joins: the distinct urgent-key set is
     broadcast while it fits the gate; above it, both sides co-group on
     ``c_custkey`` and a group emits its customer row only when no urgent
-    marker landed in it — no key set ever collects to the driver."""
+    marker landed in it — no key set ever collects to the driver.  Both
+    paths RETURN a lazy Dataset: the anti-join result is itself
+    corpus-sized (most customers survive), so it streams rather than
+    landing on the driver."""
     urgent = orders.map_batches(
         lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
             ["o_custkey"]
@@ -292,16 +304,12 @@ def inactive_customers(
         return batch.filter(pa.array(mask, type=pa.bool_())).select(
             ["c_custkey", "c_name"])
 
-    out = customer.map_batches(anti, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
-                            "c_name": pd.Series(dtype="object")})
-    return out
+    return customer.map_batches(anti, batch_format="pyarrow")
 
 
 def _inactive_customers_cogroup(
     customer: ray.data.Dataset, urgent: ray.data.Dataset
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Above-the-gate anti join: hash shuffle of (key, name, is_marker)
     rows — the explicit marker flag keeps a customer whose ``c_name``
     happens to be NULL from masquerading as an urgent marker."""
@@ -331,13 +339,9 @@ def _inactive_customers_cogroup(
     tagged = customer.select_columns(["c_custkey", "c_name"]).map_batches(
         cust_rows, batch_format="pyarrow"
     ).union(urgent.map_batches(marker_rows, batch_format="pyarrow"))
-    out = tagged.groupby("c_custkey").map_groups(
+    return tagged.groupby("c_custkey").map_groups(
         anti_group, batch_format="pyarrow"
-    ).to_pandas()
-    if out.empty:
-        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
-                            "c_name": pd.Series(dtype="object")})
-    return out
+    )
 
 
 TOP_ORDERS_SQL = """

@@ -235,11 +235,11 @@ class TestJoinSizeGate:
 
         e = relational.inactive_customers(
             rd("customer", ["c_custkey", "c_name"]),
-            rd("orders", ["o_custkey", "o_orderpriority"]))
+            rd("orders", ["o_custkey", "o_orderpriority"])).to_pandas()
         f = relational.inactive_customers(
             rd("customer", ["c_custkey", "c_name"]),
             rd("orders", ["o_custkey", "o_orderpriority"]),
-            broadcast_threshold=0)
+            broadcast_threshold=0).to_pandas()
         pd.testing.assert_frame_equal(
             e.sort_values("c_custkey").reset_index(drop=True),
             f.sort_values("c_custkey").reset_index(drop=True))
