@@ -34,6 +34,11 @@ REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "6"))
 
 
 def replicated_corpus(entry, replicas: int):
+    """Replicate the derived corpus in-stream: ONE read, one map_batches
+    that emits each batch N times with retagged doc_ids.  (The previous
+    N-way union of independent re-reads scheduled thousands of tiny read
+    tasks — at 20 replicas the union alone cost ~110 s, dwarfing the
+    engine under measurement.)"""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -41,25 +46,20 @@ def replicated_corpus(entry, replicas: int):
     if replicas <= 1:
         return base
 
-    def retag(batch: pa.Table, rep: int) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("doc_id"),
-            "doc_id",
-            pc.binary_join_element_wise(batch["doc_id"], f"r{rep}", "#"),
-        )
-
     from functools import partial
 
-    parts = [
-        entry.derived_corpus(SF_DIR).map_batches(
-            partial(retag, rep=k), batch_format="pyarrow"
-        )
-        for k in range(replicas)
-    ]
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    def replicate(batch: pa.Table, n: int) -> pa.Table:
+        idx = batch.schema.get_field_index("doc_id")
+        return pa.concat_tables([
+            batch.set_column(
+                idx, "doc_id",
+                pc.binary_join_element_wise(batch["doc_id"], f"r{k}", "#"),
+            )
+            for k in range(n)
+        ])
+
+    return base.map_batches(partial(replicate, n=replicas),
+                            batch_format="pyarrow")
 
 
 def run_bench() -> dict:
