@@ -235,17 +235,31 @@ def _cogroup_revenue_join(
     partials = tagged.groupby("c_custkey").map_groups(
         per_key, batch_format="pyarrow"
     )
-    # per-key partials number one per distinct join key — dimension-sized,
-    # which is exactly why this path exists — so the label combine runs
-    # distributed; only the per-LABEL result (a handful of rows) lands on
-    # the driver
-    from ray.data.aggregate import Sum
 
-    agg = partials.groupby(label_col).aggregate(
-        Sum("price_c", alias_name="price_c"),
-        Sum("num_orders", alias_name="num_orders"),
-    )
-    out = agg.to_pandas()
+    # per-key partials number one per distinct join key — dimension-sized,
+    # which is exactly why this path exists — so they are re-reduced to
+    # per-LABEL sums INSIDE map_batches (<= #labels rows per block; a
+    # Ray groupby-aggregate here would full-shuffle the dimension-sized
+    # partials, the documented ~100x-slower shape); only labels x blocks
+    # rows reach the driver
+    def label_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            label_col: batch[label_col].to_pandas(),
+            "price_c": batch["price_c"].to_pandas(),
+            "num_orders": batch["num_orders"].to_pandas(),
+        })
+        g = df.groupby(label_col, as_index=False).agg(
+            price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    combined = partials.map_batches(
+        label_partial, batch_format="pyarrow").to_pandas()
+    if combined.empty:  # zero matching join keys: typed empty result
+        return pd.DataFrame({label_col: pd.Series(dtype="object"),
+                             "revenue": pd.Series(dtype="float64"),
+                             "num_orders": pd.Series(dtype="int64")})
+    out = combined.groupby(label_col, as_index=False).agg(
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
     out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
     return out[[label_col, "revenue", "num_orders"]]
@@ -275,7 +289,7 @@ def inactive_customers(
     customer: ray.data.Dataset,
     orders: ray.data.Dataset,
     broadcast_threshold: int = BROADCAST_DIM_MAX,
-) -> ray.data.Dataset:
+) -> pd.DataFrame:
     """Anti join: customers with no urgent orders (the reference's side-2
     unmatched detection O6 is the same shape,
     ``/root/reference/nmalign/ocrd/cli.py:235-236``).
@@ -283,10 +297,13 @@ def inactive_customers(
     Size-gated like the dimension joins: the distinct urgent-key set is
     broadcast while it fits the gate; above it, both sides co-group on
     ``c_custkey`` and a group emits its customer row only when no urgent
-    marker landed in it — no key set ever collects to the driver.  Both
-    paths RETURN a lazy Dataset: the anti-join result is itself
-    corpus-sized (most customers survive), so it streams rather than
-    landing on the driver."""
+    marker landed in it — no key set ever collects to the driver.
+
+    Returns a pandas DataFrame (typed even when empty — Ray's
+    ``to_pandas`` on any zero-row dataset drops the schema entirely, so
+    a lazy-Dataset return cannot satisfy the column contract on empty
+    results); a deployment whose surviving-customer set outgrows the
+    driver should write the pre-collect dataset to a sink instead."""
     urgent = orders.map_batches(
         lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
             ["o_custkey"]
@@ -304,12 +321,24 @@ def inactive_customers(
         return batch.filter(pa.array(mask, type=pa.bool_())).select(
             ["c_custkey", "c_name"])
 
-    return customer.map_batches(anti, batch_format="pyarrow")
+    return _anti_to_pandas(customer.map_batches(anti, batch_format="pyarrow"))
+
+
+def _anti_to_pandas(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Collect the anti-join result with the typed-empty guard Ray needs:
+    ``to_pandas()`` on any zero-row dataset returns a COLUMN-LESS frame
+    (verified on from_arrow of a typed empty table), so empty results are
+    rebuilt with the contract columns."""
+    out = ds.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out
 
 
 def _inactive_customers_cogroup(
     customer: ray.data.Dataset, urgent: ray.data.Dataset
-) -> ray.data.Dataset:
+) -> pd.DataFrame:
     """Above-the-gate anti join: hash shuffle of (key, name, is_marker)
     rows — the explicit marker flag keeps a customer whose ``c_name``
     happens to be NULL from masquerading as an urgent marker."""
@@ -339,8 +368,10 @@ def _inactive_customers_cogroup(
     tagged = customer.select_columns(["c_custkey", "c_name"]).map_batches(
         cust_rows, batch_format="pyarrow"
     ).union(urgent.map_batches(marker_rows, batch_format="pyarrow"))
-    return tagged.groupby("c_custkey").map_groups(
-        anti_group, batch_format="pyarrow"
+    return _anti_to_pandas(
+        tagged.groupby("c_custkey").map_groups(
+            anti_group, batch_format="pyarrow"
+        )
     )
 
 

@@ -235,11 +235,11 @@ class TestJoinSizeGate:
 
         e = relational.inactive_customers(
             rd("customer", ["c_custkey", "c_name"]),
-            rd("orders", ["o_custkey", "o_orderpriority"])).to_pandas()
+            rd("orders", ["o_custkey", "o_orderpriority"]))
         f = relational.inactive_customers(
             rd("customer", ["c_custkey", "c_name"]),
             rd("orders", ["o_custkey", "o_orderpriority"]),
-            broadcast_threshold=0).to_pandas()
+            broadcast_threshold=0)
         pd.testing.assert_frame_equal(
             e.sort_values("c_custkey").reset_index(drop=True),
             f.sort_values("c_custkey").reset_index(drop=True))
@@ -263,3 +263,42 @@ class TestConnectedGroupsDoubling:
         # linear propagation needed ~n rounds x >=1s; doubling needs
         # O(log n) ~ 7 — allow generous slack for shared-host jitter
         assert took < 60, f"suspiciously slow for pointer doubling: {took:.0f}s"
+
+
+class TestJoinEmptyResults:
+    def test_anti_join_all_urgent_keeps_schema(self, ray_session):
+        # every customer has an urgent order -> empty result must still
+        # carry typed (c_custkey, c_name) columns on BOTH gate paths
+        import pandas as pd
+        from nmalign_ray.functions import relational
+
+        cust = pa.Table.from_pydict({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_name": pa.array(["a", "b"], pa.string())})
+        orders = pa.Table.from_pydict({
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"], pa.string())})
+        for thresh in (10**6, 0):
+            out = relational.inactive_customers(
+                ray_session.data.from_arrow(cust),
+                ray_session.data.from_arrow(orders),
+                broadcast_threshold=thresh)
+            assert list(out.columns) == ["c_custkey", "c_name"], thresh
+            assert len(out) == 0
+
+    def test_cogroup_revenue_zero_matches_typed_empty(self, ray_session):
+        import pandas as pd
+        from nmalign_ray.functions import relational
+
+        orders = pa.Table.from_pydict({
+            "o_custkey": pa.array([998, 999], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64())})
+        cust = pa.Table.from_pydict({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": pa.array(["X", "Y"], pa.string())})
+        out = relational.segment_revenue(
+            ray_session.data.from_arrow(orders),
+            ray_session.data.from_arrow(cust),
+            broadcast_threshold=0)
+        assert list(out.columns) == ["c_mktsegment", "revenue", "num_orders"]
+        assert len(out) == 0
