@@ -312,7 +312,10 @@ def inactive_customers(
     )
     if customer.count() > broadcast_threshold:
         return _inactive_customers_cogroup(customer, urgent)
-    keys = urgent.to_pandas()["o_custkey"].unique()
+    udf = urgent.to_pandas()
+    # zero urgent rows: Ray's zero-row to_pandas drops the columns, so
+    # guard before indexing (every customer is then inactive)
+    keys = udf["o_custkey"].unique() if "o_custkey" in udf.columns else []
     ref = ray.put(frozenset(int(k) for k in keys))
 
     def anti(batch: pa.Table) -> pa.Table:

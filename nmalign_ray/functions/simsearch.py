@@ -345,44 +345,61 @@ def embedding_near_dups(
     shares a bucket; pairwise exact cosine inside each bucket, then a
     pair-key groupby dedupes multi-bucket collisions."""
     def sig_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         emb = _normalize_rows(_stack_embeddings(batch))
         planes = _planes(emb.shape[1])
         sigs = _signatures(emb, planes)
-        out_sig, out_idx = [], []
-        for r, s in enumerate(sigs):
-            out_sig.append(int(s))
-            out_idx.append(r)
-            for b in range(NUM_PLANES):
-                out_sig.append(int(s) ^ (1 << b))
-                out_idx.append(r)
-        idx = np.asarray(out_idx)
+        # each row fans out into its own bucket + NUM_PLANES 1-bit flips;
+        # replicate columns zero-copy with take, not per-cell as_py
+        flips = np.concatenate(
+            [np.zeros(1, dtype=np.int64),
+             (1 << np.arange(NUM_PLANES, dtype=np.int64))])
+        out_sig = (sigs[:, None] ^ flips[None, :]).ravel()
+        idx = np.repeat(np.arange(len(sigs)), len(flips))
+        take = pa.array(idx, pa.int64())
         return pa.Table.from_pydict(
             {"sig": pa.array(out_sig, pa.int64()),
-             "vec_id": pa.array(
-                 batch["vec_id"].to_numpy(zero_copy_only=False)[idx],
-                 pa.int64()),
-             "embedding": pa.array(
-                 [batch["embedding"][int(i)].as_py() for i in idx],
-                 batch["embedding"].type)}
+             "vec_id": pc.take(batch["vec_id"].combine_chunks(), take),
+             "embedding": pc.take(batch["embedding"].combine_chunks(), take)}
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        emb = _normalize_rows(_stack_embeddings(group))
+        from .dedup import MAX_LSH_BUCKET
+
+        empty = pa.Table.from_pydict(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) > MAX_LSH_BUCKET:  # see dedup._bucket_pairs rationale;
+            # at corpus scale raise NUM_PLANES so buckets stay bounded
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket with %d rows exceeds %d; skipping "
+                "(raise NUM_PLANES for this corpus size)",
+                len(ids), MAX_LSH_BUCKET)
+            return empty
+        if len(ids) < 2:
+            return empty
+        emb = _normalize_rows(_stack_embeddings(group))
         order = np.argsort(ids)
         emb, ids = emb[order], ids[order]
-        sims = emb @ emb.T
-        a, b, s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j] and sims[i, j] >= threshold:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-                    s.append(float(round6(sims[i, j])))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = ids[iu] != ids[ju]
+        iu, ju = iu[keep], ju[keep]
+        # per-pair einsum, NOT a gemm: its fixed per-row accumulation
+        # order makes the score identical no matter which probe bucket a
+        # pair lands in, so the downstream dedupe can keep any row
+        # without reintroducing block-order nondeterminism
+        scores = np.einsum("ij,ij->i", emb[iu], emb[ju])
+        m = scores >= threshold
         return pa.Table.from_pydict(
-            {"vec_a": pa.array(a, pa.int64()),
-             "vec_b": pa.array(b, pa.int64()),
-             "cosine": pa.array(s, pa.float64())}
+            {"vec_a": pa.array(ids[iu[m]], pa.int64()),
+             "vec_b": pa.array(ids[ju[m]], pa.int64()),
+             "cosine": pa.array(round6(scores[m]), pa.float64())}
         )
 
     pairs = ds.map_batches(sig_rows, batch_format="pyarrow").groupby(
