@@ -255,6 +255,188 @@ def generate_corpus(
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?]) +")
 
+# ---------------------------------------------------------------------------
+# Deterministic oracle families (no rng anywhere): their expected RAW
+# pipeline output has a closed SQL form, giving the driver hash-exact
+# end-to-end checks over machinery that seeded noise cannot pin down.
+
+DMERGED_GROUP = 3  # chunks per merge group
+# the last chunk of a document may be short (< 8 words); keep it out of
+# merge groups unless it is long enough that every subsegmentation
+# trigger bound holds with margin (len(seg2) - len(seg1) > 10 needs the
+# OTHER group members to contribute > 10 chars — reference trigger at
+# /root/reference/nmalign/lib/align.py:116-124)
+DMERGED_TAIL_MIN = 15
+
+
+def _underscore(seg: str) -> str:
+    """Replace EVERY space with '_' — the deterministic corruption of the
+    dmerged family.  Properties that make the split path's output exactly
+    predictable:
+
+    * length-preserving and interior (never the first/last char), so the
+      engine's windowed local alignment (``fuzzy/partial.py``) finds the
+      exact chunk window: Indel distance = 2·(number of spaces), strictly
+      better than any shifted window, and the DAG edge cost is nonzero —
+      the reference's csr zero-drop quirk (perfect matches lose their
+      split edge, ``align.py:208-211``) never bites;
+    * heavy enough that FOREIGN reference chunks (same small vocabulary)
+      fall below the ``PARTIAL_ACC_MIN=50`` candidate screen (observed
+      ~51-60 against plain chunks, ~36-45 against all-underscore chunks),
+      so no foreign edge can overwrite a chunk's cell in the dense DAG
+      matrix (the reference overwrites dense-matrix style,
+      ``align.py:208-211`` — an equal-length foreign window on the exact
+      cell would destroy the chunk's edge);
+    * not undone by NFKC or the default normalization map, so processed
+      window positions equal raw slice positions.
+
+    SQL twin: ``replace(seg, ' ', '_')`` (global)."""
+    return seg.replace(" ", "_")
+
+
+def _dmerged_spans(segs: list[str]):
+    """Spans/refs of the deterministic merged family: chunks are grouped
+    in runs of ``DMERGED_GROUP`` and joined with ' ' after per-chunk
+    ``_underscore`` corruption; leftover / short-tail chunks stay 1:1.
+
+    This is the independent hash oracle for the subsegmentation path
+    A5-A10 (reference ``match_subseg``,
+    ``/root/reference/nmalign/lib/align.py:168-243``): the engine must
+    split every merged candidate back into per-chunk raw slices
+    ``seg2[beg:end]`` — and because every slice equals the corrupted
+    chunk exactly, the expected output text per reference chunk is
+    ``_underscore(chunk)`` REGARDLESS of the grouping, so the SQL oracle
+    needs no grouping logic at all."""
+    from collections import Counter
+
+    refs = [
+        {"kind": "text", "text": s, "media_ref": "", "offset": k}
+        for k, s in enumerate(segs)
+    ]
+    len_counts = Counter(len(s) for s in segs)
+
+    def _merge_eligible(s: str) -> bool:
+        # Data-only structural rules that make the split outcome exactly
+        # predictable (each blocks an observed failure mode of the
+        # reference's dense-matrix DAG insert, ``align.py:208-211``;
+        # ineligible chunks simply stay 1:1, which leaves the expected
+        # output text unchanged):
+        # * space + min length: every subsegmentation trigger bound
+        #   (``align.py:116-124``) holds with margin for any seed row;
+        # * UNIQUE length within the document: a foreign ref can only
+        #   overwrite a chunk's DAG cell with a full window of exactly
+        #   the chunk's width, i.e. only when two chunks share a length
+        #   (prefix/suffix windows are blocked by the bracket guards);
+        # * multi-char first/last words: a single-char boundary word can
+        #   tie the exact window with a +-2-shifted one, and the FIRST
+        #   window in rapidfuzz's enumeration order wins ties.
+        words = s.split(" ")
+        return (
+            " " in s
+            and len(s) >= DMERGED_TAIL_MIN
+            and len_counts[len(s)] == 1
+            and len(words[0]) >= 2
+            and len(words[-1]) >= 2
+        )
+
+    word_seqs = [s.split(" ") for s in segs]
+
+    def _boundary_hazard(a_words: list[str], b_words: list[str]) -> bool:
+        # A chunk C's word sequence reproduced straddling the (A, B)
+        # boundary — suffix of A's words + prefix of B's words — would
+        # give C's needle a window at/above its own cell's score: the
+        # separator space matches one of C's real spaces, so a full
+        # reproduction scores ABOVE the own cell (and a perfect 2-word
+        # reproduction scores exactly 100, whose zero-cost DAG edge the
+        # csr zero-drop quirk then deletes — observed: a doc whose chunk
+        # 'customer customer' straddled a boundary ending in 'customer').
+        # Close the group before B whenever any chunk could straddle.
+        for cw in word_seqs:
+            k = len(cw)
+            if k < 2:
+                continue
+            for i_split in range(1, k):
+                if (
+                    i_split <= len(a_words)
+                    and k - i_split <= len(b_words)
+                    and a_words[-i_split:] == cw[:i_split]
+                    and b_words[: k - i_split] == cw[i_split:]
+                ):
+                    return True
+        return False
+
+    spans = []
+    i = 0
+    n = len(segs)
+    while i < n:
+        j = i
+        while (
+            j < n
+            and j - i < DMERGED_GROUP
+            and _merge_eligible(segs[j])
+            and (j == i or not _boundary_hazard(word_seqs[j - 1], word_seqs[j]))
+        ):
+            j += 1
+        if j - i >= 2:
+            # bracket guards keep every chunk's exact window cell away
+            # from positions 0 and len(body), so foreign prefix (0, j) /
+            # suffix (s, end) windows can never land on — and overwrite —
+            # the first / last chunk's cell
+            body = "[[ " + " ".join(_underscore(s) for s in segs[i:j]) + " ]]"
+            spans.append({"kind": "text", "text": body, "media_ref": "",
+                          "offset": i})
+            i = j
+        else:
+            spans.append({"kind": "text", "text": _underscore(segs[i]),
+                          "media_ref": "", "offset": i})
+            i += 1
+    return spans, refs
+
+
+def _dhtml_wrap(segments: list[str]) -> str:
+    """Deterministic HTML wrap: fixed nav chrome, one <p> per segment, a
+    link-farm share block after every third paragraph, footer chrome —
+    every boilerplate heuristic of ``extract/html.py`` (chrome containers,
+    link density, min block length) is exercised with zero randomness."""
+    nav = (
+        '<nav><a href="/home">home</a> | <a href="/about">about</a> | '
+        '<a href="/archiv">archiv</a> | <a href="/kontakt">kontakt</a></nav>'
+    )
+    parts = ["<div>", nav]
+    for k, seg in enumerate(segments):
+        parts.append(f"<p>{seg}</p>")
+        if k % 3 == 2:
+            parts.append(
+                '<div class="share"><a href="#">teilen</a> '
+                '<a href="#">drucken</a></div>'
+            )
+    parts.append("<footer>© 1784 impressum | <a href='/agb'>agb</a></footer>")
+    parts.append("</div>")
+    return "".join(parts)
+
+
+def _dhtml_spans(segs: list[str]):
+    """Spans/refs of the deterministic html family: ONE html span wraps
+    every glyph-noised chunk of the document in boilerplate markup (the
+    north rule's "HTML boilerplate strip" front-end slot, reference
+    cascade ``/root/reference/nmalign/ocrd/cli.py:194-218``).  The
+    extractor must strip the chrome and recover the per-chunk blocks;
+    normalization reverses the glyph noise so every block matches its
+    reference chunk 1:1 at score 1.0 and the emitted RAW text is the
+    glyph-noised chunk — a nested SQL replace.  Blocks shorter than
+    ``MIN_BLOCK_CHARS`` (10) are dropped by the extractor, so such
+    chunks come back unmatched and are omitted — the SQL filter
+    mirrors this with ``len(noised) >= 10``."""
+    refs = [
+        {"kind": "html", "text": s, "media_ref": "", "offset": k}
+        for k, s in enumerate(segs)
+    ]
+    noisy = [glyph_noise(s, None) for s in segs]
+    spans = [
+        {"kind": "html", "text": _dhtml_wrap(noisy), "media_ref": "", "offset": 0}
+    ]
+    return spans, refs
+
 
 def corpus_from_documents(texts, doc_ids, seed: int = 42,
                           families: tuple[str, ...] = FAMILIES) -> pa.Table:
@@ -280,6 +462,18 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
             segs = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
         segs = [s for s in segs if s.strip()]
         if not segs:
+            continue
+        if family == "dmerged":
+            spans, ref_spans = _dmerged_spans(segs)
+            out_ids.append(f"doc-{did}")
+            all_spans.append(spans)
+            all_refs.append(ref_spans)
+            continue
+        if family == "dhtml":
+            spans, ref_spans = _dhtml_spans(segs)
+            out_ids.append(f"doc-{did}")
+            all_spans.append(spans)
+            all_refs.append(ref_spans)
             continue
         ref_spans, spans = [], []
         i = 0

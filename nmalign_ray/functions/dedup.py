@@ -150,6 +150,30 @@ def _bucket_pairs(group: pa.Table, max_bucket: int = MAX_LSH_BUCKET) -> pa.Table
     )
 
 
+def banding_candidates(doc_ids, texts) -> set:
+    """Serial reference computation of the LSH banding candidate set —
+    the exact pair set ``minhash_candidate_pairs`` produces, without a
+    Ray session.  Used by the oracle-invariant tests to pin banding
+    recall == 1.0 on every shipped corpus (the validity condition of the
+    all-pairs MINHASH_NEAR_DUPS_SQL / DUP_GROUPS_SQL twins)."""
+    rows_per_band = NUM_PERM // NUM_BANDS
+    buckets: dict[tuple[int, bytes], list] = {}
+    for did, text in zip(doc_ids, texts):
+        sig = minhash_signature(shingle_set(text))
+        for b in range(NUM_BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            buckets.setdefault((b, chunk.tobytes()), []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        uniq = sorted(set(members))
+        pairs.update(
+            (uniq[i], uniq[j])
+            for i in range(len(uniq))
+            for j in range(i + 1, len(uniq))
+        )
+    return pairs
+
+
 def minhash_candidate_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via MinHash banding: documents whose
     signatures collide in at least one band."""

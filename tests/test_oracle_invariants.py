@@ -1,0 +1,150 @@
+"""Pins the measured data-dependent properties that the SQL oracles rely
+on, so corpus or scale-factor drift fails loudly in pytest instead of
+only in the driver sweep (round-2 ADVICE):
+
+* dmerged / dhtml closed form — the deterministic families' engine
+  output equals the SQL-predicted expression on every shipped document
+  (this is also the independent serial check on the subsegmentation
+  path A5-A10 and the HTML extraction front-end);
+* MinHash banding recall — the LSH candidate set contains every
+  ground-truth Jaccard >= 0.6 pair (MINHASH_NEAR_DUPS_SQL compares the
+  engine against an ALL-pairs oracle, valid only at recall 1.0);
+* planted embedding pairs sit within signature Hamming distance <= 2
+  (the multiprobe rule of embedding_near_dups collides exactly those),
+  and no plane dot product lands on the sign boundary (KNN_LSH_SQL
+  recomputes signs with its own float ops).
+
+All checks are serial/pure-python (no Ray session needed) and run at
+sf0.001 AND sf0.01 — the two sizes the driver judges.  sf0.1 was
+verified once by hand for dmerged (5000/5000 exact) and is covered by
+the bench run.
+"""
+
+import itertools
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _docs(sf_dir):
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+class TestDeterministicFamilyClosedForm:
+    def test_dmerged_output_is_underscore_form(self, sf_dir):
+        from nmalign_ray.corpus import _underscore, corpus_from_documents
+        from nmalign_ray.document import process_document
+        from nmalign_ray.schema import EngineConfig
+
+        cfg = EngineConfig()
+        dids, texts = _docs(sf_dir)
+        corp = corpus_from_documents(texts, dids, families=("dmerged",))
+        merged_cands = 0
+        for spans, refs in zip(
+            corp["spans"].to_pylist(), corp["ref_spans"].to_pylist()
+        ):
+            merged_cands += sum(1 for s in spans if s["text"].startswith("[["))
+            out, _ = process_document(spans, refs, cfg.align, cfg.salt_threshold)
+            expect = [
+                {"kind": "text", "text": _underscore(r["text"]),
+                 "media_ref": "", "offset": r["offset"]}
+                for r in refs
+            ]
+            assert out == expect
+        # the family must actually exercise the split path, not degrade
+        # to all-standalone chunks
+        assert merged_cands >= corp.num_rows * 0.5
+
+    def test_dhtml_output_is_glyph_form_with_minlen_drop(self, sf_dir):
+        from nmalign_ray.corpus import corpus_from_documents, glyph_noise
+        from nmalign_ray.document import process_document
+        from nmalign_ray.extract.html import MIN_BLOCK_CHARS
+        from nmalign_ray.schema import EngineConfig
+
+        cfg = EngineConfig()
+        dids, texts = _docs(sf_dir)
+        corp = corpus_from_documents(texts, dids, families=("dhtml",))
+        for spans, refs in zip(
+            corp["spans"].to_pylist(), corp["ref_spans"].to_pylist()
+        ):
+            out, _ = process_document(spans, refs, cfg.align, cfg.salt_threshold)
+            expect = [
+                {"kind": "html", "text": glyph_noise(r["text"], None),
+                 "media_ref": "", "offset": r["offset"]}
+                for r in refs
+                if len(glyph_noise(r["text"], None)) >= MIN_BLOCK_CHARS
+            ]
+            assert out == expect
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_minhash_banding_recall_is_exact(sf_dir):
+    """Every ground-truth Jaccard >= 0.6 pair collides in at least one
+    band — the property that makes MINHASH_NEAR_DUPS_SQL (an all-pairs
+    oracle) a valid twin of the banded engine."""
+    from nmalign_ray.functions.dedup import (
+        banding_candidates,
+        jaccard,
+        shingle_set,
+    )
+
+    dids, texts = _docs(sf_dir)
+    sh = {d: shingle_set(t) for d, t in zip(dids, texts) if t.strip()}
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if jaccard(sh[a], sh[b]) >= 0.6
+    }
+    cands = banding_candidates(dids, texts)
+    missed = truth - cands
+    assert not missed, f"banding missed {len(missed)} true pairs: {sorted(missed)[:5]}"
+    assert truth, "fixture drift: no ground-truth near-dup pairs at all"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_planted_pairs_within_multiprobe_reach(sf_dir):
+    """Each planted near-dup pair's signatures differ by <= 2 bits (the
+    1-bit-flip multiprobe collides Hamming <= 2), and no embedding's
+    plane dot product sits on the sign boundary (KNN_LSH_SQL recomputes
+    the signs in DuckDB float ops)."""
+    from nmalign_ray.functions.simsearch import (
+        NEARDUP_PLANT_COUNT,
+        NEARDUP_PLANT_DELTA,
+        _normalize_rows,
+        _planes,
+        _signatures,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    planes = _planes(mat.shape[1])
+
+    # sign margin: smallest |dot| across all (vector, plane) pairs, on
+    # the normalized rows the engine signs
+    norm = _normalize_rows(mat)
+    dots = norm @ planes
+    assert np.min(np.abs(dots)) > 1e-9, "a dot product sits on the sign boundary"
+
+    order = np.argsort(ids)
+    base = norm[order][: NEARDUP_PLANT_COUNT]
+    planted_raw = mat[order][: NEARDUP_PLANT_COUNT].copy()
+    planted_raw[:, 0] += NEARDUP_PLANT_DELTA
+    planted = _normalize_rows(planted_raw)
+    s_base = _signatures(base, planes)
+    s_plant = _signatures(planted, planes)
+    ham = np.array(
+        [bin(int(a) ^ int(b)).count("1") for a, b in zip(s_base, s_plant)]
+    )
+    assert ham.max() <= 2, f"planted pair beyond multiprobe reach: {ham.max()} bits"
