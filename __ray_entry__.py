@@ -39,10 +39,22 @@ _CACHE_ROOT = f"/tmp/nmalign_ray_cache/{_GEN_VERSION}"
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned-column read of one test table.  The test tables are
+    single-file, single-row-group parquet, which Ray plans as ONE read
+    block — and one block means ONE task for every downstream map stage,
+    serializing per-doc operators (measured: minhash banding 6 s serial
+    vs <1 s spread).  ``override_num_blocks`` splits the read across the
+    session's CPUs; a real multi-file corpus plans many blocks naturally
+    and would not set it."""
+    import ray
     import ray.data
 
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns,
+        override_num_blocks=max(16, cpus),
     )
 
 
@@ -87,6 +99,16 @@ def derived_corpus(sf_dir: str, families=None):
             os.rename(tmp, cache)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        # never read an UNVERIFIED directory: if the publish attempt left
+        # a cache without its _SUCCESS marker (a marker-less leftover from
+        # a crashed older run blocking the rename), every future run would
+        # silently read incomplete data while regeneration kept failing —
+        # fail loudly instead (round-2 advice)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"corpus cache {cache} exists without its _SUCCESS marker; "
+                "remove the directory and rerun"
+            )
     return ray.data.read_parquet(
         [os.path.join(cache, f) for f in sorted(os.listdir(cache))
          if f.endswith(".parquet")]

@@ -446,7 +446,18 @@ def _combine_window_partials(
             n_events=("n_events", "sum"), value_c=("value_c", "sum"))
         out["n_events"] = out["n_events"].astype(np.int64)
         out["sum_value"] = round_half_away(out["value_c"] / 100.0, 3)
-        return ray.data.from_pandas(out.drop(columns=["value_c"]))
+        tbl = pa.Table.from_pandas(out.drop(columns=["value_c"]),
+                                   preserve_index=False)
+        # pin the SAME Arrow types the distributed path produces (the
+        # pandas round-trip yields timestamp[ns]; the aggregate path pins
+        # us) so the gate never changes the caller-visible schema
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl[name]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.timestamp("us"))
+            cols[name] = col
+        return ray.data.from_arrow(pa.Table.from_pydict(cols))
 
     agg = parts.groupby(keys).aggregate(
         Sum("n_events", alias_name="n_events"),
@@ -552,7 +563,13 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         out["sum_value"] = round_half_away(out["value_c"] / 100.0, 3)
         return out.drop(columns=["value_c"])
 
-    return events.groupby("user_id", num_partitions=32).map_groups(
+    # shuffle width scales with the session's CPU count (a fixed 32
+    # starves the exchange on a larger cluster — round-2 verdict item 6);
+    # 32 stays the floor so small sessions keep the tuned width
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return events.groupby("user_id", num_partitions=max(32, cpus)).map_groups(
         per_user, batch_format="pandas")
 
 

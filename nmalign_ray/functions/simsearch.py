@@ -235,21 +235,41 @@ def knn_lsh(
         emb = _normalize_rows(_stack_embeddings(batch))
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sigs = _signatures(emb, planes)
-        rows = {"q_id": [], "vec_id": [], "score": []}
         qindex = {int(q): i for i, q in enumerate(q_ids)}
-        # bucket membership: which queries probe this row's signature
-        for r in range(len(vec_ids)):
-            for qid in probe_map.get(int(sigs[r]), ()):
-                if vec_ids[r] == qid:
-                    continue
-                s = float(qmat[qindex[qid]] @ emb[r])
-                rows["q_id"].append(qid)
-                rows["vec_id"].append(int(vec_ids[r]))
-                rows["score"].append(float(round6(s)))
+        # vectorized bucket scan (round-2 verdict item 2 replaced the
+        # per-row python loop): mask the rows whose signature any query
+        # probes, then ONE matmul per probed signature group — the same
+        # partial-top-k shape as knn_brute/knn_ivf, but each group only
+        # scores against the queries probing that bucket, so the work
+        # shrinks with the candidate set instead of being Q x B
+        probed = np.fromiter(probe_map.keys(), dtype=np.int64,
+                             count=len(probe_map))
+        hit = np.isin(sigs, probed)
+        out_q: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s in np.unique(sigs[hit]):
+            rows_s = np.nonzero(sigs == s)[0]
+            qlist = probe_map[int(s)]
+            qm = qmat[[qindex[q] for q in qlist]]
+            scores = round6(qm @ emb[rows_s].T)  # (Qs, R) float64
+            ids_s = vec_ids[rows_s]
+            for t, qid in enumerate(qlist):  # bounded by num_queries
+                keep = ids_s != qid
+                out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
+                out_v.append(ids_s[keep])
+                out_s.append(scores[t][keep])
+        if not out_q:
+            return pa.Table.from_pydict(
+                {"q_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
         return pa.Table.from_pydict(
-            {"q_id": pa.array(rows["q_id"], pa.int64()),
-             "vec_id": pa.array(rows["vec_id"], pa.int64()),
-             "score": pa.array(rows["score"], pa.float64())}
+            {"q_id": pa.array(np.concatenate(out_q), pa.int64()),
+             "vec_id": pa.array(np.concatenate(out_v).astype(np.int64),
+                                pa.int64()),
+             "score": pa.array(np.concatenate(out_s), pa.float64())}
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -337,7 +357,8 @@ def augment_with_planted(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def embedding_near_dups(
-    ds: ray.data.Dataset, threshold: float = NEARDUP_THRESHOLD
+    ds: ray.data.Dataset, threshold: float = NEARDUP_THRESHOLD,
+    on_truncate: str = "warn",
 ) -> ray.data.Dataset:
     """Cosine near-duplicate pairs via multiprobe LSH buckets: each vector
     is emitted into its own signature bucket AND every 1-bit-flip
@@ -375,12 +396,10 @@ def embedding_near_dups(
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
         if len(ids) > MAX_LSH_BUCKET:  # see dedup._bucket_pairs rationale;
             # at corpus scale raise NUM_PLANES so buckets stay bounded
-            import logging
+            from .dedup import _oversize_bucket
 
-            logging.getLogger(__name__).warning(
-                "embedding LSH bucket with %d rows exceeds %d; skipping "
-                "(raise NUM_PLANES for this corpus size)",
-                len(ids), MAX_LSH_BUCKET)
+            _oversize_bucket(len(ids), MAX_LSH_BUCKET, "embedding LSH",
+                             on_truncate)
             return empty
         if len(ids) < 2:
             return empty

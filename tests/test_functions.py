@@ -50,6 +50,49 @@ class TestMinhash:
         assert out.iloc[0]["dup_count"] == 3
 
 
+class TestMinhashPrefilterGate:
+    def test_prefilter_path_equals_full_cogroup_path(self, ray_session):
+        # the member-id broadcast prefilter (gate open) and the full
+        # corpus co-group (gate closed, member_broadcast_max=0) must
+        # produce identical verified pairs
+        texts = [
+            BASE,
+            BASE.replace("lazy", "sleepy"),
+            "completely different content about database query engines and shuffles",
+            BASE.replace("garden", "yard").replace("warm", "cold"),
+            "another unrelated line of text mentioning vectors and embeddings only",
+        ]
+        ds1 = ray_session.data.from_arrow(docs_table(texts))
+        ds2 = ray_session.data.from_arrow(docs_table(texts))
+        fast = dedup.minhash_near_dups(ds1, threshold=0.5).to_pandas()
+        slow = dedup.minhash_near_dups(
+            ds2, threshold=0.5, member_broadcast_max=0
+        ).to_pandas()
+        key = ["doc_a", "doc_b"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            fast.sort_values(key).reset_index(drop=True),
+            slow.sort_values(key).reset_index(drop=True),
+        )
+
+
+class TestBucketTruncationPolicy:
+    def test_oversize_bucket_raises_when_asked(self):
+        group = pa.Table.from_pydict(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64())}
+        )
+        with pytest.raises(dedup.LshBucketOverflow):
+            dedup._bucket_pairs(group, max_bucket=2, on_truncate="raise")
+
+    def test_oversize_bucket_warns_and_drops_by_default(self):
+        group = pa.Table.from_pydict(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64())}
+        )
+        out = dedup._bucket_pairs(group, max_bucket=2)
+        assert out.num_rows == 0
+
+
 class TestSimhash:
     def test_identical_docs_zero_hamming(self, ray_session):
         ds = ray_session.data.from_arrow(docs_table([BASE, BASE, "other words"]))
@@ -196,7 +239,9 @@ class TestWindowCombinePaths:
         key = ["user_id", "hour"]
         a = drv.sort_values(key).reset_index(drop=True)
         b = dist.sort_values(key).reset_index(drop=True)[a.columns]
-        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # no check_dtype escape hatch: the driver path must pin the SAME
+        # Arrow types (timestamp us, int64) as the distributed path
+        pd.testing.assert_frame_equal(a, b)
 
 
 class TestJoinSizeGate:
