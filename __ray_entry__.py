@@ -421,6 +421,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         ),
+        "asof_join": lambda sf: relational.asof_join(
+            _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+        ),
+        "value_quantiles": lambda sf: relational.value_quantiles(
+            _read(sf, "events", ["user_id", "value"])
+        ),
+        "top_terms": lambda sf: textstats.top_terms(
+            _read(sf, "documents", ["text"])
+        ),
+        "hash_sample": lambda sf: textstats.hash_sample(
+            _read(sf, "documents", ["doc_id", "n_chars"])
+        ),
         # --- multimodal plumbing (codec stubbed behind the strict seam;
         # the media table derives from documents and the stub's outputs
         # are md5 arithmetic, so the driver sees exact SQL twins over the
@@ -478,6 +490,10 @@ def oracle_sql() -> dict[str, str]:
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
         "sliding_events": relational.SLIDING_EVENTS_SQL,
+        "asof_join": relational.ASOF_JOIN_SQL,
+        "value_quantiles": relational.VALUE_QUANTILES_SQL,
+        "top_terms": textstats.TOP_TERMS_SQL,
+        "hash_sample": textstats.HASH_SAMPLE_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

@@ -85,8 +85,10 @@ def run_bench() -> dict:
     # families the alignment queries run on), warm the page cache
     n_docs = entry.derived_corpus(SF_DIR).count() * max(1, REPLICAS)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for fams in (("identity",), ("glyph",), ("ocr",),
-                     ("identity", "glyph"), ("identity", "glyph", "ocr")):
+        for fams in (("identity",), ("glyph",), ("ocr",), ("dmerged",),
+                     ("dhtml",), ("identity", "glyph"),
+                     ("identity", "glyph", "ocr"),
+                     ("identity", "glyph", "ocr", "dmerged", "dhtml")):
             entry.derived_corpus(SF_DIR, families=fams).count()
 
     out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"
@@ -118,6 +120,10 @@ def run_bench() -> dict:
         "hourly_events",
         "sessionize",
         "sliding_events",
+        "asof_join",
+        "value_quantiles",
+        "top_terms",
+        "hash_sample",
         "nation_revenue",
         "jaccard_sample",
         "quality_filter",
@@ -126,6 +132,9 @@ def run_bench() -> dict:
         "extract_align_glyph",
         "extract_align_ocr",
         "extract_align_trimix",
+        "extract_align_merged",
+        "extract_align_html",
+        "extract_align_mix5",
         "align_metrics",
         "rollup_text",
     )

@@ -573,6 +573,139 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         per_user, batch_format="pandas")
 
 
+# As-of join (trades/quotes shape): "probe" events (event_id % 10 == 0)
+# join to the SAME user's most recent other event at or before their
+# timestamp, tie-broken by the larger event_id.  DuckDB's native ASOF
+# JOIN leaves equal-timestamp matches unspecified, so the twin pins the
+# same total order with a window row_number instead.
+ASOF_JOIN_SQL = """
+WITH probe AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_id % 10 = 0
+),
+quote AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_id % 10 != 0
+)
+SELECT user_id, event_id, ts, quote_event_id, quote_ts, quote_value
+FROM (
+  SELECT p.user_id, p.event_id, p.ts,
+         q.event_id AS quote_event_id, q.ts AS quote_ts,
+         q.value AS quote_value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY q.ts DESC, q.event_id DESC) AS rn
+  FROM probe p
+  JOIN quote q ON q.user_id = p.user_id AND q.ts <= p.ts
+) WHERE rn = 1
+"""
+
+
+def asof_join(events: ray.data.Dataset, probe_mod: int = 10) -> ray.data.Dataset:
+    """As-of join, the windowed-lookup operator Ray Data lacks natively:
+    each probe event (``event_id % probe_mod == 0``) is matched to the
+    same user's latest other event with ``ts <= probe.ts`` (ties on ts
+    broken by larger event_id); probes with no earlier event are dropped
+    (inner as-of semantics).
+
+    Implementation: ONE hash shuffle on the join key (``groupby(user_id)``
+    co-group; both sides ride the same exchange as tagged rows), then a
+    per-group vectorized merge — sort the quote side once by (ts,
+    event_id) and ``np.searchsorted`` every probe against it.
+    Partitioning assumption (documented per the custom-operator
+    contract): one user's events fit in one group; a pathologically hot
+    user would need the salting treatment the alignment stage uses."""
+    def tag(batch: pa.Table) -> pa.Table:
+        is_probe = pa.array(
+            batch["event_id"].to_numpy(zero_copy_only=False) % probe_mod == 0
+        )
+        return pa.Table.from_pydict(
+            {"user_id": batch["user_id"], "event_id": batch["event_id"],
+             "ts": batch["ts"], "value": batch["value"],
+             "is_probe": is_probe}
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["is_probe"]]
+        quotes = g[~g["is_probe"]].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype=g["user_id"].dtype),
+             "event_id": pd.Series([], dtype=np.int64),
+             "ts": pd.Series([], dtype=g["ts"].dtype),
+             "quote_event_id": pd.Series([], dtype=np.int64),
+             "quote_ts": pd.Series([], dtype=g["ts"].dtype),
+             "quote_value": pd.Series([], dtype=np.float64)}
+        )
+        if probes.empty or quotes.empty:
+            return empty
+        # index of the last quote with ts <= probe ts; the (ts, event_id)
+        # sort makes that row the tie-broken winner
+        idx = np.searchsorted(
+            quotes["ts"].to_numpy(), probes["ts"].to_numpy(), side="right"
+        ) - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        probes = probes[keep]
+        hit = quotes.iloc[idx[keep]]
+        return pd.DataFrame(
+            {"user_id": probes["user_id"].to_numpy(),
+             "event_id": probes["event_id"].to_numpy(),
+             "ts": probes["ts"].to_numpy(),
+             "quote_event_id": hit["event_id"].to_numpy(),
+             "quote_ts": hit["ts"].to_numpy(),
+             "quote_value": hit["value"].to_numpy()}
+        )
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return events.map_batches(tag, batch_format="pyarrow").groupby(
+        "user_id", num_partitions=max(32, cpus)
+    ).map_groups(per_user, batch_format="pandas")
+
+
+# Per-key discrete quantiles by INDEX SELECTION (no interpolation
+# arithmetic, so the float values pass through bit-identically on both
+# sides): p_q = sorted_values[floor((n-1) * q)].
+VALUE_QUANTILES_SQL = """
+WITH g AS (
+  SELECT user_id, list_sort(list(value)) AS v, count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       v[CAST(floor((n - 1) * 0.5) AS BIGINT) + 1] AS p50,
+       v[CAST(floor((n - 1) * 0.9) AS BIGINT) + 1] AS p90
+FROM g
+"""
+
+
+def value_quantiles(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact per-user p50/p90 of the event value: one hash shuffle on the
+    key, in-group numpy sort + index selection (discrete quantiles —
+    selection, not interpolation, so no float arithmetic can diverge
+    from the SQL twin).  Per-group cost is O(n log n) in that user's
+    rows; global quantiles over a corpus-scale column would instead use
+    a distributed sketch, which is deliberately out of scope for the
+    hash-verified operator set."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_events": np.array([n], dtype=np.int64),
+             "p50": [v[int(np.floor((n - 1) * 0.5))]],
+             "p90": [v[int(np.floor((n - 1) * 0.9))]]}
+        )
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return events.groupby("user_id", num_partitions=max(32, cpus)).map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
 NATION_REVENUE_SQL = """
 SELECT n.n_name,
        round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 3)

@@ -280,3 +280,86 @@ def quality_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+TOP_TERMS_K = 20
+
+TOP_TERMS_SQL = f"""
+SELECT t AS term, count(*) AS cnt
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+)
+GROUP BY t
+ORDER BY cnt DESC, term
+LIMIT {TOP_TERMS_K}
+"""
+
+
+def top_terms(ds: ray.data.Dataset, k: int = TOP_TERMS_K) -> ray.data.Dataset:
+    """Corpus-level top-k term frequencies — the canonical
+    partial-pre-aggregation shape: each batch collapses its tokens into
+    (term, cnt) partial counts BEFORE the shuffle, so the global
+    ``groupby(term)`` exchange moves one row per distinct term per batch
+    (vocabulary-sized), never one row per token (corpus-sized).  The
+    final top-k cut orders by (cnt DESC, term ASC) — the SQL twin's
+    total order — over the distinct-term aggregate, which is
+    vocabulary-small by construction."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = text.strip().lower().split()
+            counts.update(toks)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "term"
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def cut(df):
+        out = df.sort_values(["cnt", "term"], ascending=[False, True]).head(k)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    # the aggregate is vocabulary-sized (tiny); one driver-side cut
+    return ray.data.from_pandas(cut(agg.to_pandas()))
+
+
+HASH_SAMPLE_MOD = 5
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      % {HASH_SAMPLE_MOD} = 0
+"""
+
+
+def hash_sample(ds: ray.data.Dataset, mod: int = HASH_SAMPLE_MOD) -> ray.data.Dataset:
+    """Deterministic hash-based sampling (keep doc iff
+    md5(doc_id) % mod == 0): the reproducible subsampling primitive a
+    training-data pipeline needs — stable across runs, machines and
+    partitionings, unlike ``Dataset.random_sample``.  Stateless
+    map-side filter; no shuffle."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod == 0
+             for d in ids],
+            type=pa.bool_(),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pc.filter(batch["doc_id"], mask),
+             "n_chars": pc.filter(batch["n_chars"], mask)}
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
