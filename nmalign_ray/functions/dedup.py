@@ -787,7 +787,15 @@ def connected_groups(
         )
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    # width-to-data: each round schedules O(num_partitions) tasks across
+    # two groupbys and three unions, a FIXED per-round cost; near-dup
+    # edge sets are usually tiny relative to the corpus, so clamp the
+    # shuffle width to the edge count (>=50k edges per partition) with
+    # the caller's value as the ceiling — at 94 edges this cuts
+    # per-round task count 4x (measured 10.1 s -> see BASELINE r3)
+    n_edges = edges.count()
+    num_partitions = max(8, min(num_partitions, -(-n_edges // 50_000)))
+    if n_edges == 0:
         sch = pairs.schema()
         t = (dict(zip(sch.names, sch.types)).get("doc_a", pa.int64())
              if sch is not None else pa.int64())
