@@ -433,6 +433,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": lambda sf: textstats.hash_sample(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
+        "pii_redact": lambda sf: textstats.pii_redact(
+            textstats.plant_pii(_read(sf, "documents", ["doc_id", "text"]))
+        ),
+        "gopher_signals": lambda sf: textstats.gopher_signals(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "tfidf_top_terms": lambda sf: textstats.tfidf_top_terms(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "chunk_dedup": lambda sf: dedup.chunk_dedup(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "decontaminate": lambda sf: dedup.decontaminate(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         # --- multimodal plumbing (codec stubbed behind the strict seam;
         # the media table derives from documents and the stub's outputs
         # are md5 arithmetic, so the driver sees exact SQL twins over the
@@ -494,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "top_terms": textstats.TOP_TERMS_SQL,
         "hash_sample": textstats.HASH_SAMPLE_SQL,
+        "pii_redact": textstats.PII_REDACT_SQL,
+        "gopher_signals": textstats.GOPHER_SIGNALS_SQL,
+        "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
+        "chunk_dedup": dedup.CHUNK_DEDUP_SQL,
+        "decontaminate": dedup.DECONTAMINATE_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

@@ -905,3 +905,286 @@ def connected_groups(
             "group labels may still be split", max_rounds,
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level corpus dedup (C4-style: Raffel et al. 2020, arXiv:1910.10683
+# §2.2 deduplicate "any three-sentence span"; here the unit is the corpus's
+# 8-word chunk, the same segmentation the alignment fixtures use).  Shape:
+#   1. map: per doc, emit (chunk_md5, doc_id, idx) — the wide exchange
+#      carries 16-byte keys + two ints, never the text;
+#   2. groupby(chunk_md5): keep the lexicographically-first (doc_id, idx)
+#      occurrence of every distinct chunk (Min over a packed key);
+#   3. co-group the kept (doc_id, idx) markers back with the documents on
+#      doc_id and re-slice the surviving chunks locally.
+# Two hash shuffles total, both over skinny rows; the 128-bit md5 key keeps
+# collision probability negligible at 10^12-chunk scale (64-bit would not).
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 8
+# packed keep-first key: doc_id * 2^20 + idx (idx < 2^20 checked per doc)
+_CHUNK_IDX_BITS = 20
+
+CHUNK_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(lst, 1) - 1 AS BIGINT) AS idx,
+         unnest(lst) AS chunk
+  FROM (SELECT doc_id,
+               [array_to_string(toks[i:i+7], ' ')
+                for i in generate_series(1, len(toks), 8)] AS lst
+        FROM d)
+),
+keep AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                '') AS clean_text,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) AS n_chunks
+FROM keep GROUP BY doc_id
+"""
+
+
+def _doc_chunks(text: str) -> list[str]:
+    """8-word chunks of the whitespace-tokenized trimmed text (python
+    str.split == the oracle's regexp_split_to_array on \\s+)."""
+    toks = text.strip().split()
+    return [" ".join(toks[i:i + CHUNK_WORDS])
+            for i in range(0, len(toks), CHUNK_WORDS)]
+
+
+def _chunk_rows(batch: pa.Table, keep_text: bool) -> pa.Table:
+    ids, idxs, keys, chunks = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        cs = _doc_chunks(text)
+        if len(cs) >= (1 << _CHUNK_IDX_BITS):
+            raise ValueError(
+                f"doc {doc_id}: {len(cs)} chunks exceeds the packed-key "
+                f"budget (2^{_CHUNK_IDX_BITS})")
+        for i, c in enumerate(cs):
+            ids.append(doc_id)
+            idxs.append(i)
+            keys.append(hashlib.md5(c.encode("utf-8")).hexdigest())
+            if keep_text:
+                chunks.append(c)
+    cols = {
+        "chunk_key": pa.array(keys, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "idx": pa.array(idxs, pa.int64()),
+    }
+    if keep_text:
+        cols["chunk"] = pa.array(chunks, pa.string())
+    return pa.Table.from_pydict(cols)
+
+
+def chunk_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus-wide duplicate-chunk removal: every distinct 8-word chunk
+    survives only at its first occurrence (min (doc_id, idx)); each
+    document is rebuilt from its surviving chunks.  Documents whose every
+    chunk already appeared elsewhere come back with clean_text = ''."""
+
+    import pyarrow.compute as pc
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = _chunk_rows(batch, keep_text=False)
+        packed = pc.add(
+            pc.shift_left(t["doc_id"], _CHUNK_IDX_BITS), t["idx"])
+        return pa.Table.from_pydict(
+            {"chunk_key": t["chunk_key"], "packed": packed})
+
+    kept = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.shift_right(packed, _CHUNK_IDX_BITS),
+                "idx": pc.bit_wise_and(packed, (1 << _CHUNK_IDX_BITS) - 1),
+                "text": pa.array([""] * len(batch), pa.string()),
+                "is_doc": pa.array([False] * len(batch), pa.bool_()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "idx": pa.array([-1] * n, pa.int64()),
+                "text": batch["text"],
+                "is_doc": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
+    both = kept.map_batches(unpack, batch_format="pyarrow").union(
+        ds.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = group["is_doc"].to_pylist()
+        texts = group["text"].to_pylist()
+        idxs = group["idx"].to_pylist()
+        doc_id = group["doc_id"][0].as_py()
+        text = next(t for t, d in zip(texts, is_doc) if d)
+        chunks = _doc_chunks(text)
+        if not chunks:  # empty document: no chunk rows, mirror the oracle
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "clean_text": pa.array([], pa.string()),
+                 "n_kept": pa.array([], pa.int64()),
+                 "n_chunks": pa.array([], pa.int64())})
+        keep_idx = sorted(i for i, d in zip(idxs, is_doc) if not d)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "clean_text": pa.array(
+                    [" ".join(chunks[i] for i in keep_idx)], pa.string()),
+                "n_kept": pa.array([len(keep_idx)], pa.int64()),
+                "n_chunks": pa.array([len(chunks)], pa.int64()),
+            }
+        )
+
+    return both.groupby("doc_id").map_groups(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an evaluation set, cf.
+# GPT-3 appendix C / Gopher §A3): a document is contaminated when it shares
+# any 8-word chunk with a benchmark document.  The benchmark here is the
+# deterministic slice doc_id % 37 == 0 of the corpus itself.
+# ---------------------------------------------------------------------------
+
+BENCHMARK_MOD = 37
+# Benchmark chunk-key sets under this size are collected once and
+# broadcast via ray.put (an eval suite is ~10^6 n-grams — tiny next to the
+# corpus); above it, the membership test becomes a chunk-key co-group
+# (both paths tested).
+BENCH_BROADCAST_MAX = 5_000_000
+
+DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ')
+                 for i in generate_series(1, len(toks), 8)]) AS chunk
+  FROM d
+),
+bench AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % {BENCHMARK_MOD} = 0)
+SELECT c.doc_id,
+       count(*) FILTER (WHERE b.chunk IS NOT NULL) AS n_hits,
+       count(*) FILTER (WHERE b.chunk IS NOT NULL) > 0 AS contaminated
+FROM ch c LEFT JOIN bench b USING (chunk)
+WHERE c.doc_id % {BENCHMARK_MOD} <> 0
+GROUP BY c.doc_id
+"""
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_mod: int = BENCHMARK_MOD,
+    bench_broadcast_max: int = BENCH_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Flag training documents sharing any 8-word chunk with the benchmark
+    slice (doc_id % bench_mod == 0).  Fast path: the benchmark's distinct
+    chunk-key set is collected once, ``ray.put`` once, and probed map-side
+    (zero shuffles).  When the set exceeds ``bench_broadcast_max`` keys,
+    falls back to a chunk-key co-group + per-doc sum (two skinny
+    shuffles).  Output rows are the non-benchmark, non-empty documents."""
+    import pyarrow.compute as pc
+
+    def _mod_mask(batch: pa.Table, want_bench: bool) -> pa.Array:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % bench_mod) == 0
+        return pa.array(m if want_bench else ~m, type=pa.bool_())
+
+    def bench_chunks(batch: pa.Table) -> pa.Table:
+        return _chunk_rows(batch.filter(_mod_mask(batch, True)),
+                           keep_text=False)
+
+    def train_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(_mod_mask(batch, False))
+
+    bench_keys = ds.map_batches(bench_chunks, batch_format="pyarrow")
+    train = ds.map_batches(train_docs, batch_format="pyarrow")
+
+    distinct_bench = bench_keys.groupby("chunk_key").aggregate(
+        Count(alias_name="_n"))
+    if distinct_bench.count() <= bench_broadcast_max:
+        keys: set = set()
+        for b in distinct_bench.iter_batches(batch_format="pyarrow"):
+            keys.update(b["chunk_key"].to_pylist())
+        keys_ref = ray.put(frozenset(keys))
+
+        def flag(batch: pa.Table) -> pa.Table:
+            bench = ray.get(keys_ref)
+            ids, hits = [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                cs = _doc_chunks(text)
+                if not cs:
+                    continue
+                ids.append(doc_id)
+                hits.append(sum(
+                    hashlib.md5(c.encode("utf-8")).hexdigest() in bench
+                    for c in cs))
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "n_hits": pa.array(hits, pa.int64()),
+                 "contaminated": pa.array([h > 0 for h in hits],
+                                          pa.bool_())})
+
+        return train.map_batches(flag, batch_format="pyarrow")
+
+    # distributed fallback: co-group train chunk rows with benchmark keys
+    def train_chunks(batch: pa.Table) -> pa.Table:
+        t = _chunk_rows(batch, keep_text=False)
+        return t.append_column(
+            "is_bench", pa.array([False] * len(t), pa.bool_()))
+
+    def bench_side(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"chunk_key": batch["chunk_key"],
+             "doc_id": pa.array([-1] * len(batch), pa.int64()),
+             "idx": pa.array([-1] * len(batch), pa.int64()),
+             "is_bench": pa.array([True] * len(batch), pa.bool_())})
+
+    both = train.map_batches(train_chunks, batch_format="pyarrow").union(
+        distinct_bench.map_batches(bench_side, batch_format="pyarrow"))
+
+    def mark(group: pa.Table) -> pa.Table:
+        hit = bool(pc.any(group["is_bench"]).as_py())
+        t = group.filter(pc.invert(group["is_bench"]))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "hit": pa.array([1 if hit else 0] * len(t), pa.int64())})
+
+    per_chunk = both.groupby("chunk_key").map_groups(
+        mark, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = per_chunk.groupby("doc_id").aggregate(
+        Sum("hit", alias_name="n_hits"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "n_hits": pc.cast(batch["n_hits"], pa.int64()),
+             "contaminated": pc.greater(batch["n_hits"], 0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -332,6 +332,199 @@ def top_terms(ds: ray.data.Dataset, k: int = TOP_TERMS_K) -> ray.data.Dataset:
     return ray.data.from_pandas(cut(agg.to_pandas()))
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+# documents dominated by repeated tokens / n-grams are low-quality training
+# data.  Per-document fractions, fully vectorized: one dictionary-encode of
+# the batch's flattened token array, then distinct/top counts per document
+# via a single np.unique over (doc, code) composite keys — no per-row
+# Python, no shuffle (the signals are per-document).
+# ---------------------------------------------------------------------------
+
+GOPHER_SIGNALS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS top_c
+        FROM tc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest([toks[i] || ' ' || toks[i + 1]
+                      for i in generate_series(1, len(toks) - 1)]) AS g
+       FROM d),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bi AS (SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct2
+       FROM bgc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(uni.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN coalesce(uni.n_tokens, 0) = 0 THEN 0.0
+             ELSE 1.0 - uni.n_distinct / CAST(uni.n_tokens AS DOUBLE) END,
+             6) AS dup_token_frac,
+       round(CASE WHEN coalesce(uni.n_tokens, 0) = 0 THEN 0.0
+             ELSE uni.top_c / CAST(uni.n_tokens AS DOUBLE) END,
+             6) AS top_token_frac,
+       round(CASE WHEN coalesce(bi.n_2grams, 0) = 0 THEN 0.0
+             ELSE 1.0 - bi.n_distinct2 / CAST(bi.n_2grams AS DOUBLE) END,
+             6) AS dup_2gram_frac
+FROM d LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+"""
+
+
+def gopher_signals_batch(batch: pa.Table) -> pa.Table:
+    flat, offsets, counts = _tokens_and_offsets(pc.utf8_lower(batch["text"]))
+    ndocs = len(counts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_tokens = counts.astype(np.int64)
+    n_distinct = np.zeros(ndocs, dtype=np.int64)
+    top_c = np.zeros(ndocs, dtype=np.int64)
+    n_2grams = np.maximum(n_tokens - 1, 0)
+    n_distinct2 = np.zeros(ndocs, dtype=np.int64)
+    # an empty document yields one empty-string artifact token after the
+    # split (counted as 0 in counts); drop it so flat aligns with counts
+    flat = pc.filter(flat, pc.not_equal(flat, ""))
+    if len(flat) > 0:
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n_tokens)
+        uk, uc = np.unique(doc_idx * vocab + codes, return_counts=True)
+        doc_of = uk // vocab
+        n_distinct = np.bincount(doc_of, minlength=ndocs)
+        np.maximum.at(top_c, doc_of, uc)
+        # adjacent within-document 2-grams; batch-local vocab keeps
+        # vocab**2 * ndocs far inside int64 (vocab <= tokens-per-batch)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        if adj.any():
+            pair = codes[:-1][adj] * vocab + codes[1:][adj]
+            k2 = np.unique(doc_idx[:-1][adj] * (vocab * vocab) + pair)
+            n_distinct2 = np.bincount(k2 // (vocab * vocab), minlength=ndocs)
+    dup_token_frac = round6(
+        np.where(n_tokens > 0, 1.0 - n_distinct / np.maximum(n_tokens, 1), 0.0)
+    )
+    top_token_frac = round6(
+        np.where(n_tokens > 0, top_c / np.maximum(n_tokens, 1), 0.0)
+    )
+    dup_2gram_frac = round6(
+        np.where(n_2grams > 0, 1.0 - n_distinct2 / np.maximum(n_2grams, 1), 0.0)
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "dup_token_frac": pa.array(dup_token_frac, type=pa.float64()),
+            "top_token_frac": pa.array(top_token_frac, type=pa.float64()),
+            "dup_2gram_frac": pa.array(dup_2gram_frac, type=pa.float64()),
+        }
+    )
+
+
+def gopher_signals(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document repetition quality signals (duplicate-token fraction,
+    top-token fraction, duplicate-2-gram fraction), Gopher-rule style.
+    Stateless vectorized ``map_batches``; embarrassingly parallel."""
+    return ds.map_batches(gopher_signals_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing).
+#
+# The synthetic corpus carries no PII, so the query PLANTS a deterministic
+# contact sentence per document (pure doc_id arithmetic — the same pattern
+# as the planted embedding pairs in simsearch.augment_with_planted) and
+# the operator must scrub it back out.  Both sides speak RE2: pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace share the engine,
+# so the patterns below behave identically and the hash check is exact.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+)
+
+PII_REDACT_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, {PII_PLANT_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(text, '{PII_IP_RE}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{PII_IP_RE}', '<IP>', 'g') AS clean_text
+FROM planted
+"""
+
+
+def plant_pii_batch(batch: pa.Table) -> pa.Table:
+    """Append the deterministic contact sentence (query fixture, mirrors
+    PII_PLANT_SQL exactly)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    suffix = [
+        f" contact user{d}@example.com or +1-555-{d % 10000:04d}"
+        f" at 10.{d % 256}.{(d * 7) % 256}.{(d * 13) % 256}"
+        for d in ids
+    ]
+    planted = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()), pa.array(suffix, pa.string()), ""
+    )
+    return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": planted})
+
+
+def plant_pii(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(plant_pii_batch, batch_format="pyarrow")
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+
+    def count(pat):
+        return pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+
+    n_emails = count(PII_EMAIL_RE)
+    n_phones = count(PII_PHONE_RE)
+    n_ips = count(PII_IP_RE)
+    clean = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+    clean = pc.replace_substring_regex(clean, PII_PHONE_RE, "<PHONE>")
+    clean = pc.replace_substring_regex(clean, PII_IP_RE, "<IP>")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+            "clean_text": clean,
+        }
+    )
+
+
+def pii_redact(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """PII scrubbing (emails, phone numbers, IPv4 addresses -> typed mask
+    tokens) with per-document redaction counts — the standard
+    training-data cleaning pass (cf. C4/CCNet-style pipelines).  A single
+    stateless vectorized ``map_batches``: three RE2 scans + three RE2
+    replaces per batch, no shuffle, no per-row Python.  At 100 TB this is
+    embarrassingly parallel and I/O-bound; redaction counts ride along so
+    a downstream audit needs no second scan."""
+    return ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
 HASH_SAMPLE_MOD = 5
 
 HASH_SAMPLE_SQL = f"""
@@ -363,3 +556,131 @@ def hash_sample(ds: ray.data.Dataset, mod: int = HASH_SAMPLE_MOD) -> ray.data.Da
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document: the canonical two-pass
+# aggregate-then-broadcast shape.  Pass 1 computes document frequencies as
+# vocabulary-sized partials (one (term, df) row per distinct term per
+# batch, with the non-empty-doc count riding along as explicit is_marker
+# rows — never a NULL sentinel) and collapses them in ONE small
+# groupby(term).  The resulting DF map is ray.put once and probed map-side
+# in pass 2, so the corpus-sized pass never shuffles: each batch scores
+# its own (doc, term) pairs and emits its top-k rows.  At 100 TB the DF
+# map is vocabulary-bounded (~10^7 rows), orders of magnitude under the
+# corpus, which is exactly when broadcast beats a join.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS n FROM d),
+sc AS (
+  SELECT tc.doc_id, tc.term,
+         round(CAST(tc.cnt AS DOUBLE) * ln((n.n + 1.0) / (df.df + 1.0)),
+               6) AS tfidf
+  FROM tc JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM sc)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def _doc_term_counts(batch: pa.Table):
+    """Per-batch (doc_row, term_code, count) triples plus the batch
+    dictionary, via one dictionary-encode + one np.unique — no per-row
+    Python."""
+    flat, _, counts = _tokens_and_offsets(
+        pc.utf8_lower(batch["text"]))
+    flat = pc.filter(flat, pc.not_equal(flat, ""))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ndocs = len(counts)
+    if len(flat) == 0:
+        return (np.array([], np.int64), np.array([], np.int64),
+                np.array([], np.int64), [], counts.astype(np.int64))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64),
+                        counts.astype(np.int64))
+    uk, uc = np.unique(doc_idx * len(vocab) + codes, return_counts=True)
+    return (uk // len(vocab), uk % len(vocab), uc.astype(np.int64),
+            vocab, counts.astype(np.int64))
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, k: int = TFIDF_TOP_K
+                    ) -> ray.data.Dataset:
+    """Top-k distinguishing terms per document by tf-idf
+    (score = count * ln((N+1)/(df+1)); ties and the cut resolved on the
+    6-dp-rounded score then term, the SQL twin's total order)."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_of, code_of, _, vocab, counts = _doc_term_counts(batch)
+        # df partial: number of docs (in this batch) containing each term
+        term_rows = [vocab[c] for c in code_of]
+        uterm, udf = np.unique(np.asarray(term_rows, dtype=object),
+                               return_counts=True) if term_rows else ([], [])
+        terms = list(uterm) + [""]
+        dfs = [int(x) for x in udf] + [int((counts > 0).sum())]
+        marker = [False] * len(uterm) + [True]
+        return pa.Table.from_pydict(
+            {"term": pa.array(terms, pa.string()),
+             "df": pa.array(dfs, pa.int64()),
+             "is_marker": pa.array(marker, pa.bool_())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(df_partial, batch_format="pyarrow").groupby(
+        ["term", "is_marker"]).aggregate(Sum("df", alias_name="df"))
+
+    df_map: dict = {}
+    n_docs = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for term, dfv, mk in zip(b["term"].to_pylist(),
+                                 b["df"].to_pylist(),
+                                 b["is_marker"].to_pylist()):
+            if mk:
+                n_docs += int(dfv)
+            else:
+                df_map[term] = int(dfv)
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        doc_of, code_of, cnt, vocab, _ = _doc_term_counts(batch)
+        if len(doc_of) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tfidf": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())})
+        df_dict = np.array([dfm[t] for t in vocab], dtype=np.float64)
+        scores = round6(cnt.astype(np.float64)
+                        * np.log((n_docs + 1.0) / (df_dict[code_of] + 1.0)))
+        terms = np.array([vocab[c] for c in code_of])
+        order = np.lexsort((terms, -scores, doc_of))
+        doc_s = doc_of[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(doc_s) != 0) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(doc_s)]]))
+        rank = np.arange(len(doc_s)) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[doc_of[keep]], pa.int64()),
+             "term": pa.array(terms[keep].tolist(), pa.string()),
+             "tfidf": pa.array(scores[keep], pa.float64()),
+             "rank": pa.array((rank[rank < k] + 1).astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -349,3 +349,125 @@ class TestJoinEmptyResults:
             broadcast_threshold=0)
         assert list(out.columns) == ["c_mktsegment", "revenue", "num_orders"]
         assert len(out) == 0
+
+
+class TestChunkDedup:
+    def test_duplicate_chunks_survive_only_at_first_occurrence(self, ray_session):
+        # doc 0 and doc 1 share their first 8-word chunk; doc 2 repeats
+        # doc 0 entirely (both its chunks) and must come back empty
+        c1 = "one two three four five six seven eight"
+        c2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+        c3 = "alpha beta gamma delta epsilon zeta eta theta"
+        texts = [f"{c1} {c2}", f"{c1} {c3}", f"{c1} {c2}"]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        out = dedup.chunk_dedup(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "clean_text"] == f"{c1} {c2}"
+        assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_chunks"] == 2
+        assert out.loc[1, "clean_text"] == c3  # shared chunk deduped away
+        assert out.loc[1, "n_kept"] == 1
+        assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_kept"] == 0
+
+    def test_empty_documents_dropped(self, ray_session):
+        ds = ray_session.data.from_arrow(docs_table(["", "  ", "a b c"]))
+        out = dedup.chunk_dedup(ds).to_pandas()
+        assert set(out.doc_id) == {2}
+
+    def test_partial_trailing_chunk_is_its_own_unit(self, ray_session):
+        # a short trailing chunk differs from the full chunk it prefixes,
+        # so it is NOT deduplicated against it
+        c1 = "one two three four five six seven eight"
+        ds = ray_session.data.from_arrow(docs_table([c1, "one two three"]))
+        out = dedup.chunk_dedup(ds).to_pandas().set_index("doc_id")
+        assert out.loc[1, "clean_text"] == "one two three"
+
+
+class TestDecontaminate:
+    def _fixture(self):
+        # doc 0 (0 % 37 == 0) is the benchmark; doc 38 shares its first
+        # chunk (contaminated); doc 39 is clean
+        bench = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu nu xi omicron pi")
+        leak = ("alpha beta gamma delta epsilon zeta eta theta "
+                "completely different second half of this doc here")
+        clean = ("unrelated words about ray data pipelines and arrow "
+                 "batches that overlap nothing from the benchmark set")
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([0, 38, 39], pa.int64()),
+             "text": pa.array([bench, leak, clean], pa.string())})
+        return tbl
+
+    def test_broadcast_path(self, ray_session):
+        ds = ray_session.data.from_arrow(self._fixture())
+        out = dedup.decontaminate(ds).to_pandas().set_index("doc_id")
+        assert set(out.index) == {38, 39}  # benchmark doc excluded
+        assert bool(out.loc[38, "contaminated"]) and out.loc[38, "n_hits"] == 1
+        assert not bool(out.loc[39, "contaminated"])
+
+    def test_cogroup_path_matches_broadcast(self, ray_session):
+        import pandas as pd
+
+        ds = ray_session.data.from_arrow(self._fixture())
+        a = dedup.decontaminate(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        b = dedup.decontaminate(ds, bench_broadcast_max=0).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestPiiRedact:
+    def test_no_pii_is_identity(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["plain words only", "dots. but no addresses 1.2 here"]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        out = ts.pii_redact(ds).to_pandas().set_index("doc_id")
+        assert (out[["n_emails", "n_phones", "n_ips"]].to_numpy() == 0).all()
+        assert list(out.clean_text) == texts
+
+    def test_each_kind_redacted(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        ds = ray_session.data.from_arrow(docs_table(
+            ["mail a.b@c.org now", "dial +44-123-4567 ok",
+             "host 192.168.0.1 up", "x@y.io and 10.0.0.7"]))
+        out = ts.pii_redact(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "clean_text"] == "mail <EMAIL> now"
+        assert out.loc[1, "clean_text"] == "dial <PHONE> ok"
+        assert out.loc[2, "clean_text"] == "host <IP> up"
+        assert out.loc[3, "clean_text"] == "<EMAIL> and <IP>"
+        assert out.loc[3, "n_emails"] == 1 and out.loc[3, "n_ips"] == 1
+
+
+class TestTfidfBatchInvariance:
+    def test_result_independent_of_partitioning(self, ray_session):
+        # the DF map is a global aggregate, so per-doc scores must not
+        # depend on how documents are batched together
+        import pandas as pd
+
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [f"shared word plus unique{i} token{i % 3} mix" for i in range(12)]
+        tbl = docs_table(texts)
+        one = ray_session.data.from_arrow(tbl)
+        many = ray_session.data.from_arrow(tbl).repartition(6)
+        a = ts.tfidf_top_terms(one).to_pandas().sort_values(
+            ["doc_id", "rank"]).reset_index(drop=True)
+        b = ts.tfidf_top_terms(many).to_pandas().sort_values(
+            ["doc_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a.groupby("doc_id")["rank"].max() <= 3).all()
+
+
+class TestGopherSignals:
+    def test_known_values(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        ds = ray_session.data.from_arrow(docs_table(
+            ["a a a a", "a b c d", ""]))
+        out = ts.gopher_signals(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "dup_token_frac"] == 0.75
+        assert out.loc[0, "top_token_frac"] == 1.0
+        assert out.loc[0, "dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out.loc[1, "dup_token_frac"] == 0.0
+        assert out.loc[1, "dup_2gram_frac"] == 0.0
+        assert out.loc[2, "n_tokens"] == 0
