@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: dedup.decontaminate(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "group_sample": lambda sf: textstats.group_sample(
+            _read(sf, "documents", ["doc_id", "lang", "n_chars"])
+        ),
+        "inverted_index": lambda sf: textstats.inverted_index(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         # --- multimodal plumbing (codec stubbed behind the strict seam;
         # the media table derives from documents and the stub's outputs
         # are md5 arithmetic, so the driver sees exact SQL twins over the
@@ -514,6 +520,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "chunk_dedup": dedup.CHUNK_DEDUP_SQL,
         "decontaminate": dedup.DECONTAMINATE_SQL,
+        "group_sample": textstats.GROUP_SAMPLE_SQL,
+        "inverted_index": textstats.INVERTED_INDEX_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

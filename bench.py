@@ -124,6 +124,13 @@ def run_bench() -> dict:
         "value_quantiles",
         "top_terms",
         "hash_sample",
+        "pii_redact",
+        "gopher_signals",
+        "tfidf_top_terms",
+        "chunk_dedup",
+        "decontaminate",
+        "group_sample",
+        "inverted_index",
         "nation_revenue",
         "jaccard_sample",
         "quality_filter",

@@ -684,3 +684,144 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = TFIDF_TOP_K
              "rank": pa.array((rank[rank < k] + 1).astype(np.int64))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: k documents per group (language),
+# chosen by md5(doc_id) order — reproducible across runs, machines and
+# partitionings.  Shape: per-batch PARTIAL top-k per group (each batch
+# forwards at most k rows per language it saw), then one group-wise final
+# selection — the shuffle carries at most k * n_groups * n_batches skinny
+# rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 25
+
+GROUP_SAMPLE_SQL = f"""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ) AS rn
+  FROM documents
+)
+WHERE rn <= {GROUP_SAMPLE_K}
+"""
+
+
+def _sample_cut(tbl: pa.Table, k: int) -> pa.Table:
+    keys = np.array([hashlib.md5(str(d).encode()).hexdigest()
+                     for d in tbl["doc_id"].to_pylist()])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    langs = np.array(tbl["lang"].to_pylist())
+    order = np.lexsort((ids, keys, langs))
+    lang_s = langs[order]
+    starts = np.concatenate([[0], np.flatnonzero(lang_s[1:] != lang_s[:-1]) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(lang_s)]]))
+    rank = np.arange(len(lang_s)) - np.repeat(starts, sizes)
+    return tbl.take(pa.array(order[rank < k]))
+
+
+def group_sample(ds: ray.data.Dataset, k: int = GROUP_SAMPLE_K
+                 ) -> ray.data.Dataset:
+    """Stratified sample: the k documents per language with the smallest
+    md5(doc_id), ties by doc_id (the SQL twin's exact order)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _sample_cut(
+            batch.select(["lang", "doc_id", "n_chars"]), k)
+
+    def final(group: pa.Table) -> pa.Table:
+        return _sample_cut(group, k)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (term -> document posting list): the classic
+# corpus-scale search-index shape.  Per-batch partials collapse each
+# batch's tokens into one (term, sorted posting run) row per distinct
+# term (vocabulary-sized, never token-sized), the groupby(term) exchange
+# merges runs, and each posting list is emitted sorted and capped at
+# MAX_POSTINGS with the true document frequency kept alongside — a capped
+# list plus the exact df, so truncation is visible, not silent.  Postings
+# serialize as a comma-joined string for byte-exact oracle comparison.
+# ---------------------------------------------------------------------------
+
+MAX_POSTINGS = 32
+
+INVERTED_INDEX_SQL = f"""
+SELECT term,
+       count(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{MAX_POSTINGS}], ',')
+         AS postings
+FROM (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+GROUP BY term
+"""
+
+
+def inverted_index(ds: ray.data.Dataset, max_postings: int = MAX_POSTINGS
+                   ) -> ray.data.Dataset:
+    """Term -> (document frequency, capped sorted posting list).
+
+    The exchange key is a COARSE shard (hash(term) % width), not the term
+    itself: one Ray group per distinct term pays per-group dispatch on a
+    vocabulary-sized group count (measured 5.7 s of a 6 s stage at sf0.1
+    for the LSH buckets — same lesson), while a few hundred shard groups
+    amortize it; terms are then merged inside the shard task with one
+    numpy sort."""
+    try:  # match pipelines.extract.resolve_concurrency's cluster sizing
+        width = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    except Exception:  # noqa: BLE001 - sizing only
+        width = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, code_of, _, vocab, _ = _doc_term_counts(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms, runs = [], []
+        # group the (already unique) doc-term pairs by term code
+        order = np.argsort(code_of, kind="stable")
+        cs = code_of[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(cs) != 0) + 1]) if len(cs) else []
+        bounds = list(starts) + [len(cs)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            terms.append(vocab[cs[s]])
+            runs.append(np.sort(ids[doc_of[order[s:e]]]).tolist())
+        shards = [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+            % width
+            for t in terms]
+        return pa.Table.from_pydict(
+            {"shard": pa.array(shards, pa.int64()),
+             "term": pa.array(terms, pa.string()),
+             "postings": pa.array(runs, pa.list_(pa.int64()))})
+
+    def merge_shard(group: pa.Table) -> pa.Table:
+        terms = np.array(group["term"].to_pylist())
+        runs = group["postings"].to_pylist()
+        out_t, out_df, out_p = [], [], []
+        order = np.argsort(terms, kind="stable")
+        ts = terms[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ts[1:] != ts[:-1]) + 1]) if len(ts) else []
+        bounds = list(starts) + [len(ts)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            all_ids = np.sort(np.concatenate(
+                [np.asarray(runs[i], dtype=np.int64) for i in order[s:e]]))
+            out_t.append(ts[s])
+            out_df.append(len(all_ids))
+            out_p.append(",".join(map(str, all_ids[:max_postings])))
+        return pa.Table.from_pydict(
+            {"term": pa.array(out_t, pa.string()),
+             "df": pa.array(out_df, pa.int64()),
+             "postings": pa.array(out_p, pa.string())})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "shard").map_groups(merge_shard, batch_format="pyarrow")

@@ -471,3 +471,48 @@ class TestGopherSignals:
         assert out.loc[1, "dup_token_frac"] == 0.0
         assert out.loc[1, "dup_2gram_frac"] == 0.0
         assert out.loc[2, "n_tokens"] == 0
+
+
+class TestGroupSample:
+    def test_k_per_group_and_batch_invariant(self, ray_session):
+        import pandas as pd
+
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(40), pa.int64()),
+             "lang": pa.array(["en", "de"] * 20, pa.string()),
+             "n_chars": pa.array([10] * 40, pa.int64())})
+        one = ray_session.data.from_arrow(tbl)
+        many = ray_session.data.from_arrow(tbl).repartition(8)
+        a = ts.group_sample(one, k=5).to_pandas().sort_values(
+            ["lang", "doc_id"]).reset_index(drop=True)
+        b = ts.group_sample(many, k=5).to_pandas().sort_values(
+            ["lang", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a.groupby("lang").size() == 5).all()
+
+    def test_small_group_kept_whole(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "lang": pa.array(["fr", "fr", "es"], pa.string()),
+             "n_chars": pa.array([1, 2, 3], pa.int64())})
+        out = ts.group_sample(ray_session.data.from_arrow(tbl), k=5).to_pandas()
+        assert len(out) == 3
+
+
+class TestInvertedIndex:
+    def test_postings_merged_sorted_and_capped(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["alpha beta", "beta gamma", "beta beta alpha"]
+        ds = ray_session.data.from_arrow(docs_table(texts)).repartition(3)
+        out = ts.inverted_index(ds, max_postings=2).to_pandas(
+        ).set_index("term")
+        assert out.loc["beta", "df"] == 3  # df counts docs, not tokens
+        assert out.loc["beta", "postings"] == "0,1"  # capped at 2, sorted
+        assert out.loc["alpha", "df"] == 2
+        assert out.loc["alpha", "postings"] == "0,2"
+        assert out.loc["gamma", "postings"] == "1"
