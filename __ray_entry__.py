@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": lambda sf: textstats.inverted_index(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "kmv_distinct": lambda sf: textstats.kmv_distinct(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "mix_sample": lambda sf: textstats.mix_sample(
+            _read(sf, "documents", ["doc_id", "text", "source"])
+        ),
         # --- multimodal plumbing (codec stubbed behind the strict seam;
         # the media table derives from documents and the stub's outputs
         # are md5 arithmetic, so the driver sees exact SQL twins over the
@@ -522,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dedup.DECONTAMINATE_SQL,
         "group_sample": textstats.GROUP_SAMPLE_SQL,
         "inverted_index": textstats.INVERTED_INDEX_SQL,
+        "kmv_distinct": textstats.KMV_DISTINCT_SQL,
+        "mix_sample": textstats.MIX_SAMPLE_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

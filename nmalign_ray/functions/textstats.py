@@ -825,3 +825,165 @@ def inverted_index(ds: ray.data.Dataset, max_postings: int = MAX_POSTINGS
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "shard").map_groups(merge_shard, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-token cardinality sketch (Bar-Yossef et
+# al. 2002; Beyer et al. 2007 "On synopses for distinct-value estimation"):
+# the streaming answer to "how many distinct tokens does the corpus hold"
+# without a vocabulary-wide exchange.  Each batch collapses to at most k
+# hash values (its k smallest distinct md5-low64 token hashes), the merge
+# keeps the k smallest overall, and the unbiased estimator is
+# (k-1) * 2^64 / h_k.  At 100 TB the shuffle volume is k x num_batches
+# tiny uint64 rows — constant per batch — versus the vocabulary-sized
+# groupby an exact count needs.  The estimate itself is DETERMINISTIC
+# arithmetic over integers, so the DuckDB twin recomputes the identical
+# sketch and matches bit-for-bit (same float expression shape both sides).
+# ---------------------------------------------------------------------------
+
+KMV_K = 16
+
+KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       count(*) AS n_kept,
+       max(hv) AS kth_min_hash,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE ({KMV_K} - 1) * (18446744073709551616.0 / max(hv))
+       END AS estimate_distinct
+FROM k
+"""
+
+
+def _kmv_hashes(tokens) -> np.ndarray:
+    """Sorted distinct md5-low64 hashes of the given tokens (uint64)."""
+    if not tokens:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in tokens),
+        dtype=np.uint64))
+
+
+def kmv_distinct(ds: ray.data.Dataset, k: int = KMV_K) -> ray.data.Dataset:
+    """Distinct-token cardinality estimate via the KMV sketch.
+
+    Per-batch partials emit that batch's k smallest distinct token
+    hashes (bounded rows per batch — no token-sized or vocabulary-sized
+    exchange); the driver merge is provably bounded at k x num_batches
+    uint64s.  Estimator and tie/edge conventions mirror
+    ``KMV_DISTINCT_SQL`` exactly: fewer than k distinct hashes means the
+    sketch IS the exact count.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for text in batch["text"].to_pylist():
+            t = text.strip()
+            if t:
+                toks.update(t.lower().split())
+        hv = _kmv_hashes(sorted(toks))[:k]
+        return pa.Table.from_pydict({"hv": pa.array(hv, pa.uint64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # zero-row datasets collect to a COLUMN-LESS frame — rebuild typed empty
+    raw = (partials["hv"].to_numpy(dtype=np.uint64)
+           if "hv" in partials.columns else np.array([], dtype=np.uint64))
+    hv = np.unique(raw)[:k]
+    n_kept = len(hv)
+    if n_kept == 0:
+        kth, est = None, 0.0
+    else:
+        kth = int(hv[-1])
+        est = float(n_kept) if n_kept < k else (
+            (k - 1) * (18446744073709551616.0 / kth))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([k], pa.int64()),
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "kth_min_hash": pa.array([kth], pa.uint64()),
+        "estimate_distinct": pa.array([est], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Training-mix composition: per-source token-budgeted selection.  Order
+# each source's documents by (md5(doc_id), doc_id) — a deterministic
+# pseudo-random shuffle — and keep documents while the running token
+# total stays within the budget (cumulative sum INCLUDING the current
+# document <= budget; empty documents are excluded up front, so selection
+# is finite by construction).  This is the data-mixture curation step of
+# an LLM pipeline: cap each source's contribution at a token budget.
+# Only narrow (source, doc_id, hash, n_tokens) rows reach the
+# groupby(source) exchange — the text stays behind — and the in-group
+# sort + prefix-sum cut is the same per-key shape as sessionize, with the
+# same documented per-source-skew bound.
+# ---------------------------------------------------------------------------
+
+MIX_TOKEN_BUDGET = 800
+
+MIX_SAMPLE_SQL = f"""
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM (
+    SELECT source, doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents WHERE trim(text) <> ''
+  )
+)
+WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
+"""
+
+
+def mix_sample(ds: ray.data.Dataset, budget: int = MIX_TOKEN_BUDGET
+               ) -> ray.data.Dataset:
+    """Token-budgeted per-source document selection (training mix)."""
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        out_s, out_i, out_h, out_n = [], [], [], []
+        for s, i, t in zip(srcs, ids, texts):
+            t = t.strip()
+            if not t:
+                continue
+            out_s.append(s)
+            out_i.append(i)
+            out_h.append(hashlib.md5(str(i).encode()).hexdigest())
+            out_n.append(len(t.split()))
+        return pa.Table.from_pydict({
+            "source": pa.array(out_s, pa.string()),
+            "doc_id": pa.array(out_i, pa.int64()),
+            "hkey": pa.array(out_h, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    def cut(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        hks = np.array(group["hkey"].to_pylist())
+        toks = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hks))
+        cum = np.cumsum(toks[order])
+        keep = order[cum <= budget]
+        t = group.take(pa.array(keep))
+        return pa.Table.from_pydict({
+            "source": t["source"],
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "cum_tokens": pa.array(cum[cum <= budget], pa.int64()),
+        })
+
+    return ds.map_batches(narrow, batch_format="pyarrow").groupby(
+        "source").map_groups(cut, batch_format="pyarrow")

@@ -516,3 +516,85 @@ class TestInvertedIndex:
         assert out.loc["alpha", "df"] == 2
         assert out.loc["alpha", "postings"] == "0,2"
         assert out.loc["gamma", "postings"] == "1"
+
+
+class TestKmvDistinct:
+    def test_exact_below_k_and_batch_invariant(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["alpha beta gamma", "beta delta", "  ", "gamma epsilon"]
+        one = ray_session.data.from_arrow(docs_table(texts))
+        many = ray_session.data.from_arrow(docs_table(texts)).repartition(4)
+        a = ts.kmv_distinct(one, k=16).to_pandas()
+        b = ts.kmv_distinct(many, k=16).to_pandas()
+        # 5 distinct tokens < k: the sketch IS the exact count
+        assert a.loc[0, "n_kept"] == 5
+        assert a.loc[0, "estimate_distinct"] == 5.0
+        assert a.equals(b)
+
+    def test_sketch_branch_deterministic(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [" ".join(f"w{i}" for i in range(j, j + 30))
+                 for j in range(0, 90, 10)]
+        one = ray_session.data.from_arrow(docs_table(texts))
+        many = ray_session.data.from_arrow(docs_table(texts)).repartition(5)
+        a = ts.kmv_distinct(one, k=8).to_pandas()
+        b = ts.kmv_distinct(many, k=8).to_pandas()
+        assert a.loc[0, "n_kept"] == 8
+        kth = int(a.loc[0, "kth_min_hash"])
+        assert a.loc[0, "estimate_distinct"] == 7 * (2.0**64 / kth)
+        assert a.equals(b)
+
+    def test_empty_corpus(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.kmv_distinct(
+            ray_session.data.from_arrow(docs_table(["", "  "]))).to_pandas()
+        assert out.loc[0, "n_kept"] == 0
+        assert out.loc[0, "estimate_distinct"] == 0.0
+
+
+class TestMixSample:
+    def _tbl(self):
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(range(30), pa.int64()),
+             "text": pa.array(
+                 ["tok " * (i % 7 + 1) for i in range(30)], pa.string()),
+             "source": pa.array(["a", "b", "c"] * 10, pa.string())})
+
+    def test_budget_respected_and_batch_invariant(self, ray_session):
+        import pandas as pd
+
+        from nmalign_ray.functions import textstats as ts
+
+        one = ray_session.data.from_arrow(self._tbl())
+        many = ray_session.data.from_arrow(self._tbl()).repartition(6)
+        a = ts.mix_sample(one, budget=12).to_pandas().sort_values(
+            ["source", "doc_id"]).reset_index(drop=True)
+        b = ts.mix_sample(many, budget=12).to_pandas().sort_values(
+            ["source", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a.groupby("source")["n_tokens"].sum() <= 12).all()
+        assert (a.groupby("source")["cum_tokens"].max()
+                == a.groupby("source")["n_tokens"].sum()).all()
+
+    def test_selection_is_hash_prefix(self, ray_session):
+        import hashlib
+
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.mix_sample(
+            ray_session.data.from_arrow(self._tbl()), budget=9).to_pandas()
+        # within each source, kept docs are a PREFIX of the md5 order and
+        # the first excluded doc would have burst the budget
+        tbl = self._tbl().to_pandas()
+        tbl["n_tokens"] = tbl["text"].str.strip().str.split().str.len()
+        for src, grp in tbl.groupby("source"):
+            grp = grp.assign(
+                h=[hashlib.md5(str(i).encode()).hexdigest()
+                   for i in grp["doc_id"]]).sort_values(["h", "doc_id"])
+            cum = grp["n_tokens"].cumsum()
+            want = set(grp.loc[cum <= 9, "doc_id"])
+            got = set(out.loc[out["source"] == src, "doc_id"])
+            assert got == want
