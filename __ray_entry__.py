@@ -448,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: dedup.decontaminate(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "bloom_decontaminate": lambda sf: dedup.bloom_decontaminate(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "group_sample": lambda sf: textstats.group_sample(
             _read(sf, "documents", ["doc_id", "lang", "n_chars"])
         ),
@@ -526,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "chunk_dedup": dedup.CHUNK_DEDUP_SQL,
         "decontaminate": dedup.DECONTAMINATE_SQL,
+        "bloom_decontaminate": dedup.BLOOM_DECONTAMINATE_SQL,
         "group_sample": textstats.GROUP_SAMPLE_SQL,
         "inverted_index": textstats.INVERTED_INDEX_SQL,
         "kmv_distinct": textstats.KMV_DISTINCT_SQL,

@@ -1188,3 +1188,142 @@ def decontaminate(
              "contaminated": pc.greater(batch["n_hits"], 0)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970; the membership-sketch variant
+# of ``decontaminate``): build a Bloom filter over the benchmark slice's
+# 8-word chunks, broadcast the BITSET — whose size is FIXED by (bits,
+# hashes), independent of benchmark size — and probe every training
+# chunk map-side.  This is the 100-TB shape when even the benchmark's
+# distinct chunk-key set is too large to broadcast: build-side partials
+# are bounded at ``bits`` positions per batch, the merged filter is
+# bits/8 bytes shipped once via ``ray.put``, and the probe side never
+# shuffles at all.  False positives are part of Bloom semantics and are
+# DETERMINISTIC given (bits, hashes), so the DuckDB twin — which
+# recomputes the identical double-hash probe positions — matches
+# bit-for-bit, false positives included.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(lst, 1) - 1 AS BIGINT) AS idx,
+         unnest(lst) AS chunk
+  FROM (SELECT doc_id,
+               [array_to_string(toks[i:i+7], ' ')
+                for i in generate_series(1, len(toks), 8)] AS lst
+        FROM d)
+),
+hashed AS (
+  SELECT doc_id, idx,
+         ('0x' || substr(md5(chunk), 1, 16))::UBIGINT % {BLOOM_BITS} AS h1,
+         ('0x' || substr(md5(chunk), 17, 16))::UBIGINT % {BLOOM_BITS} AS h2
+  FROM ch
+),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {BLOOM_BITS} AS pos
+  FROM (SELECT h1, h2 FROM hashed WHERE doc_id % {BENCHMARK_MOD} = 0),
+       generate_series(0, {BLOOM_HASHES - 1}) AS g(i)
+),
+probes AS (
+  SELECT doc_id, idx, (h1 + i * h2) % {BLOOM_BITS} AS pos
+  FROM hashed, generate_series(0, {BLOOM_HASHES - 1}) AS g(i)
+  WHERE doc_id % {BENCHMARK_MOD} <> 0
+),
+chunk_hits AS (
+  SELECT p.doc_id, p.idx,
+         count(*) FILTER (WHERE b.pos IS NOT NULL) AS nbits
+  FROM probes p LEFT JOIN bits b USING (pos)
+  GROUP BY p.doc_id, p.idx
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE nbits = {BLOOM_HASHES}) AS n_flagged,
+       count(*) FILTER (WHERE nbits = {BLOOM_HASHES}) > 0 AS contaminated
+FROM chunk_hits GROUP BY doc_id
+"""
+
+
+def _bloom_h12(chunks: list[str], bits: int):
+    """(h1, h2) probe bases per chunk: md5 low/high 8 bytes mod bits —
+    the exact integer arithmetic of the SQL twin's UBIGINT expressions."""
+    h1 = np.empty(len(chunks), dtype=np.int64)
+    h2 = np.empty(len(chunks), dtype=np.int64)
+    for i, c in enumerate(chunks):
+        dig = hashlib.md5(c.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(dig[:8], "big") % bits
+        h2[i] = int.from_bytes(dig[8:16], "big") % bits
+    return h1, h2
+
+
+def bloom_decontaminate(
+    ds: ray.data.Dataset,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    bench_mod: int = BENCHMARK_MOD,
+) -> ray.data.Dataset:
+    """Flag training documents whose any 8-word chunk the Bloom filter
+    built over the benchmark slice (doc_id % bench_mod == 0) reports as
+    a member.  Output one row per non-benchmark, non-empty document:
+    (doc_id, n_chunks, n_flagged, contaminated)."""
+
+    probe_offsets = np.arange(hashes, dtype=np.int64)[:, None]
+
+    def bench_positions(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((ids % bench_mod) == 0, pa.bool_()))
+        chunks: list[str] = []
+        for text in sel["text"].to_pylist():
+            chunks.extend(_doc_chunks(text))
+        if not chunks:
+            return pa.Table.from_pydict({"pos": pa.array([], pa.int64())})
+        h1, h2 = _bloom_h12(chunks, bits)
+        pos = np.unique((h1[None, :] + probe_offsets * h2[None, :]) % bits)
+        return pa.Table.from_pydict({"pos": pa.array(pos, pa.int64())})
+
+    partials = ds.map_batches(
+        bench_positions, batch_format="pyarrow").to_pandas()
+    bitset = np.zeros(bits, dtype=bool)
+    if "pos" in partials.columns:  # zero-block collect is column-less
+        bitset[partials["pos"].to_numpy(dtype=np.int64)] = True
+    bits_ref = ray.put(bitset)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bits_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((ids % bench_mod) != 0, pa.bool_()))
+        out_ids, chunks, counts = [], [], []
+        for doc_id, text in zip(sel["doc_id"].to_pylist(),
+                                sel["text"].to_pylist()):
+            cs = _doc_chunks(text)
+            if not cs:
+                continue
+            out_ids.append(doc_id)
+            counts.append(len(cs))
+            chunks.extend(cs)
+        if not out_ids:
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.int64()),
+                "n_flagged": pa.array([], pa.int64()),
+                "contaminated": pa.array([], pa.bool_())})
+        h1, h2 = _bloom_h12(chunks, bits)
+        hit = bs[(h1[None, :] + probe_offsets * h2[None, :]) % bits].all(
+            axis=0)
+        bounds = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        n_flagged = np.add.reduceat(hit.astype(np.int64), bounds)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "n_chunks": pa.array(counts, pa.int64()),
+            "n_flagged": pa.array(n_flagged, pa.int64()),
+            "contaminated": pa.array(n_flagged > 0, pa.bool_())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -598,3 +598,64 @@ class TestMixSample:
             want = set(grp.loc[cum <= 9, "doc_id"])
             got = set(out.loc[out["source"] == src, "doc_id"])
             assert got == want
+
+
+class TestBloomDecontaminate:
+    def _docs(self):
+        # doc 0 and 37 are the benchmark slice (doc_id % 37 == 0); doc 38
+        # shares doc 0's first 8-word chunk verbatim, doc 39 is clean
+        bench = "b0 b1 b2 b3 b4 b5 b6 b7 tail0 tail1"
+        clean = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+        ids = [0, 37, 38, 39]
+        texts = [bench, "other bench words entirely here now",
+                 "b0 b1 b2 b3 b4 b5 b6 b7 different end", clean]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(texts, pa.string())})
+
+    def test_planted_contamination_and_batch_invariance(self, ray_session):
+        import pandas as pd
+
+        one = ray_session.data.from_arrow(self._docs())
+        many = ray_session.data.from_arrow(self._docs()).repartition(4)
+        a = dedup.bloom_decontaminate(one).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        b = dedup.bloom_decontaminate(many).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert list(a["doc_id"]) == [38, 39]  # benchmark docs excluded
+        assert bool(a.loc[a.doc_id == 38, "contaminated"].iloc[0])
+        assert not bool(a.loc[a.doc_id == 39, "contaminated"].iloc[0])
+
+    def test_false_positives_match_reference_bloom(self, ray_session):
+        """With a tiny filter, false positives MUST appear and must equal
+        an independent pure-python Bloom computation exactly."""
+        import hashlib as hl
+
+        rows = 128
+        texts = [" ".join(f"t{i}w{j}" for j in range(8)) for i in range(rows)]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(rows), pa.int64()),
+             "text": pa.array(texts, pa.string())})
+        bits, hashes = 16, 2
+        out = dedup.bloom_decontaminate(
+            ray_session.data.from_arrow(tbl), bits=bits, hashes=hashes
+        ).to_pandas().set_index("doc_id")
+
+        def positions(chunk):
+            d = hl.md5(chunk.encode()).digest()
+            h1 = int.from_bytes(d[:8], "big") % bits
+            h2 = int.from_bytes(d[8:16], "big") % bits
+            return [(h1 + i * h2) % bits for i in range(hashes)]
+
+        filt = set()
+        for i in range(0, rows, 37):
+            filt.update(positions(texts[i]))
+        expect_fp = 0
+        for i in range(rows):
+            if i % 37 == 0:
+                continue
+            member = all(p in filt for p in positions(texts[i]))
+            assert bool(out.loc[i, "contaminated"]) == member
+            expect_fp += member
+        assert expect_fp > 0  # the tiny filter really does false-positive
