@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": lambda sf: relational.value_quantiles(
             _read(sf, "events", ["user_id", "value"])
         ),
+        "ranked_docs": lambda sf: relational.ranked_docs(
+            _read(sf, "documents", ["doc_id", "n_chars"])
+        ),
         "top_terms": lambda sf: textstats.top_terms(
             _read(sf, "documents", ["text"])
         ),
@@ -522,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_events": relational.SLIDING_EVENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
+        "ranked_docs": relational.RANKED_DOCS_SQL,
         "top_terms": textstats.TOP_TERMS_SQL,
         "hash_sample": textstats.HASH_SAMPLE_SQL,
         "pii_redact": textstats.PII_REDACT_SQL,

@@ -827,3 +827,48 @@ def sliding_events(
                                   batch_size=65536)
     return _combine_window_partials(
         partials, ["user_id", "window_start"], driver_max)
+
+
+# ---------------------------------------------------------------------------
+# Global sort + exact rank: the one shuffle primitive the other operators
+# deliberately avoid (top_orders does top-k WITHOUT a global sort).  Here
+# the full range-partitioned ``Dataset.sort`` is the point: totally order
+# the corpus by (n_chars DESC, doc_id) and attach the exact global row
+# number.  Ray Data has no zip-with-index, so the rank attach drops to
+# raw Ray tasks — the documented escape hatch for what the Dataset API
+# cannot express: the sorted dataset's blocks are enumerated in order,
+# per-block COUNTS (one int per block) are the only driver-side data,
+# and each block gets its offset + arange rank in a per-block remote
+# task, re-rooted via ``from_arrow_refs`` with zero extra copies.  The
+# rank VALUES make global-sort exactness hash-verifiable even under the
+# driver's order-insensitive compare.
+# ---------------------------------------------------------------------------
+
+RANKED_DOCS_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank
+FROM documents
+"""
+
+
+def ranked_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Documents totally ordered by (n_chars DESC, doc_id) with their
+    exact global 0-based rank."""
+    sorted_ds = ds.sort(["n_chars", "doc_id"], descending=[True, False])
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _with_rank(tbl: pa.Table, offset: int) -> pa.Table:
+        return tbl.append_column(
+            "rank",
+            pa.array(offset + np.arange(tbl.num_rows), pa.int64()))
+
+    out = [_with_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

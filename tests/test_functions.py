@@ -659,3 +659,26 @@ class TestBloomDecontaminate:
             assert bool(out.loc[i, "contaminated"]) == member
             expect_fp += member
         assert expect_fp > 0  # the tiny filter really does false-positive
+
+
+class TestRankedDocs:
+    def test_global_rank_exact_and_partition_invariant(self, ray_session):
+        import pandas as pd
+
+        from nmalign_ray.functions import relational as rel
+
+        rng_ids = list(range(50))
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(rng_ids, pa.int64()),
+             "n_chars": pa.array([(i * 7) % 13 for i in rng_ids],
+                                 pa.int64())})
+        for parts in (1, 8):
+            ds = ray_session.data.from_arrow(tbl).repartition(parts)
+            out = rel.ranked_docs(ds).to_pandas().sort_values(
+                "rank").reset_index(drop=True)
+            want = (tbl.to_pandas()
+                    .sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True])
+                    .reset_index(drop=True))
+            want["rank"] = np.arange(len(want), dtype=np.int64)
+            pd.testing.assert_frame_equal(out, want, check_dtype=False)
