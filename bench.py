@@ -131,6 +131,10 @@ def run_bench() -> dict:
         "decontaminate",
         "group_sample",
         "inverted_index",
+        "kmv_distinct",
+        "mix_sample",
+        "bloom_decontaminate",
+        "ranked_docs",
         "nation_revenue",
         "jaccard_sample",
         "quality_filter",
