@@ -188,9 +188,25 @@ class TestConnectedGroups:
             "doc_b": pa.array(list(range(1, n)), pa.int64()),
         })
         out = dedup.connected_groups(
-            ray_session.data.from_arrow(pairs), max_rounds=20
+            ray_session.data.from_arrow(pairs), max_rounds=20, driver_max=0
         ).to_pandas()
         assert (out.group_id == 0).all()
+
+    def test_driver_gate_equals_distributed(self, ray_session):
+        pairs = pa.Table.from_pydict({
+            "doc_a": pa.array([1, 2, 7, 10, 2], pa.int64()),
+            "doc_b": pa.array([2, 3, 8, 11, 9], pa.int64()),
+        })
+        fast = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs)).to_pandas()
+        slow = dedup.connected_groups(
+            ray_session.data.from_arrow(pairs), driver_max=0).to_pandas()
+        key = ["doc_id"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            fast.sort_values(key).reset_index(drop=True),
+            slow.sort_values(key).reset_index(drop=True))
 
     def test_empty_pairs(self, ray_session):
         pairs = pa.Table.from_pydict({
@@ -301,7 +317,7 @@ class TestConnectedGroupsDoubling:
             {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))})
         t0 = time.time()
         out = dedup.connected_groups(
-            ray_session.data.from_arrow(pairs)).to_pandas()
+            ray_session.data.from_arrow(pairs), driver_max=0).to_pandas()
         took = time.time() - t0
         assert sorted(out["group_id"].unique()) == [0]
         assert len(out) == n
