@@ -160,7 +160,12 @@ def run_checkpointed(
     ).map_batches(
         partial(_add_pid, num_partitions=cfg.num_partitions),
         batch_format="pyarrow",
-    ).repartition(cfg.num_partitions)
+    )
+    # NOTE: no repartition before the groupby — the round-2 coalesce
+    # (43 s -> 26 s) predates the in-stream bench replicator; with sane
+    # upstream block counts the extra all-to-all is pure overhead
+    # (A/B measured 16.2/18.8 s with vs 15.3/17.4 s without at 30k docs)
+    # and the groupby's own num_partitions bounds the shuffle width.
     summary = (
         aligned.groupby("pid", num_partitions=cfg.num_partitions)
         .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")
