@@ -1,0 +1,147 @@
+"""On-disk corpus sources for the span-document model.
+
+The north rule's input is a columnar table of interleaved documents
+(doc_id + spans:list<struct<kind,text,media_ref,offset>>); storage here
+is parquet (Lance is unavailable in this environment — SURVEY §3.5), but
+real corpora also arrive as JSON-lines exports, so the reader face is
+format-pluggable.  Every reader returns a lazy ``ray.data.Dataset``
+whose schema is validated (and, where losslessly possible, CAST) to the
+canonical ``CORPUS_SCHEMA`` / ``INPUT_SCHEMA`` span types, so the
+pipeline stages downstream never see a drifting schema.  Reads stay
+streaming: ``override_num_blocks`` splits single-file inputs across the
+cluster (a single-row-group parquet file otherwise plans ONE block and
+serializes every downstream map stage — measured round 3).
+
+Reference parity: this is the engine-side generalization of the
+reference's file/filelist input surface
+(``/root/reference/nmalign/cli.py`` ``--files1/--filelist1``), lifted
+from per-line text files to span-document tables.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from .schema import CORPUS_SCHEMA, INPUT_SCHEMA, SPAN_TYPE
+
+_FORMATS = ("parquet", "jsonl")
+
+
+class CorpusSchemaError(ValueError):
+    """The on-disk table cannot be cast to the span-document schema."""
+
+
+def _expected(with_refs: bool) -> pa.Schema:
+    return CORPUS_SCHEMA if with_refs else INPUT_SCHEMA
+
+
+def _cast_span_list(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """Cast a list<struct> array to the canonical span type by FIELD
+    NAME — Arrow's cast matches struct fields positionally, but JSON
+    readers alphabetize fields, so the struct is rebuilt child by
+    child (zero-copy for children already at the right type)."""
+    la = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if la.null_count:
+        raise CorpusSchemaError("span lists must not be null")
+    values = la.values
+    tstruct = target.value_type
+    children = []
+    for i in range(tstruct.num_fields):
+        f = tstruct.field(i)
+        if f.name not in [sf.name for sf in values.type]:
+            raise CorpusSchemaError(
+                f"span struct is missing field {f.name!r}")
+        child = values.field(f.name)
+        if child.type != f.type:
+            child = child.cast(f.type)
+        children.append(child)
+    new_values = pa.StructArray.from_arrays(
+        children, fields=[tstruct.field(i) for i in range(tstruct.num_fields)])
+    return pa.ListArray.from_arrays(la.offsets, new_values)
+
+
+def _conform(batch: pa.Table, expected: pa.Schema) -> pa.Table:
+    """Validate/cast one batch to the canonical schema (column order
+    included).  Raises CorpusSchemaError on missing columns or
+    non-castable types — loudly, per batch, instead of letting a
+    drifting schema surface as a downstream kernel error."""
+    if batch.num_rows == 0:
+        # Ray's read splitting can emit zero-row, column-less blocks;
+        # return a TYPED empty so downstream schema() stays stable
+        return expected.empty_table()
+    missing = [n for n in expected.names if n not in batch.column_names]
+    if missing:
+        raise CorpusSchemaError(
+            f"corpus table is missing columns {missing}; "
+            f"have {batch.column_names}")
+    cols = []
+    for field in expected:
+        col = batch[field.name]
+        if col.type != field.type:
+            try:
+                if (pa.types.is_list(field.type)
+                        and pa.types.is_struct(field.type.value_type)):
+                    col = _cast_span_list(col, field.type)
+                else:
+                    col = col.cast(field.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as exc:
+                raise CorpusSchemaError(
+                    f"column {field.name!r}: cannot cast {col.type} "
+                    f"to {field.type}") from exc
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=expected)
+
+
+def read_corpus(
+    path: str,
+    format: str = "parquet",
+    with_refs: bool = True,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Read a span-document corpus into a lazy, schema-conformed Dataset.
+
+    ``format``: 'parquet' (canonical storage) or 'jsonl' (one document
+    object per line, spans as arrays of objects).  ``with_refs``
+    selects CORPUS_SCHEMA (spans + ref_spans, the alignment input) vs
+    INPUT_SCHEMA (spans only).
+    """
+    if format not in _FORMATS:
+        raise ValueError(f"unknown corpus format {format!r}; "
+                         f"expected one of {_FORMATS}")
+    expected = _expected(with_refs)
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if format == "parquet":
+        ds = ray.data.read_parquet(
+            path, columns=list(expected.names), **kwargs)
+    else:
+        ds = ray.data.read_json(path, **kwargs)
+    return ds.map_batches(
+        lambda b: _conform(b, expected), batch_format="pyarrow")
+
+
+def write_corpus(ds: ray.data.Dataset, path: str) -> None:
+    """Write a span-document corpus as partitioned parquet."""
+    ds.write_parquet(path)
+
+
+def spans_from_lines(lines: list[str], kind: str = "text") -> list[dict]:
+    """Lift a plain line list (the reference's native input unit) into
+    span rows — offset is the line index, media_ref empty."""
+    return [
+        {"kind": kind, "text": ln, "media_ref": "", "offset": i}
+        for i, ln in enumerate(lines)
+    ]
+
+
+__all__ = [
+    "CorpusSchemaError",
+    "read_corpus",
+    "write_corpus",
+    "spans_from_lines",
+    "SPAN_TYPE",
+]
