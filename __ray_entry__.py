@@ -430,6 +430,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_docs": lambda sf: relational.ranked_docs(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
+        "outer_join_orders": lambda sf: relational.outer_join_orders(
+            _read(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+            _read(sf, "orders", ["o_custkey"]),
+        ),
         "top_terms": lambda sf: textstats.top_terms(
             _read(sf, "documents", ["text"])
         ),
@@ -526,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": relational.ASOF_JOIN_SQL,
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "ranked_docs": relational.RANKED_DOCS_SQL,
+        "outer_join_orders": relational.OUTER_JOIN_SQL,
         "top_terms": textstats.TOP_TERMS_SQL,
         "hash_sample": textstats.HASH_SAMPLE_SQL,
         "pii_redact": textstats.PII_REDACT_SQL,

@@ -872,3 +872,95 @@ def ranked_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     out = [_with_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# Full outer join — the join flavor the other queries deliberately avoid
+# (segment_revenue: broadcast inner; inactive_customers: anti;
+# asof_join: inequality).  Both sides genuinely unmatch here: the
+# BUILDING-segment customer slice lacks custkeys that have orders, and
+# per-custkey order counts include non-BUILDING customers.  Shape: tag
+# each side with an EXPLICIT presence flag (round-2 rule: never
+# null-sentinel a join — real NULLs collide), union, ONE co-group hash
+# shuffle on the key, and emit exactly one output row per key with
+# has_customer / has_orders marking the outer semantics.  NULL-free
+# output columns (coalesce to ''/0) keep the driver's value-hash
+# deterministic.  The order side is pre-aggregated per batch before the
+# shuffle (counts, not rows).
+# ---------------------------------------------------------------------------
+
+OUTER_JOIN_SQL = """
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       coalesce(c.c_name, '') AS c_name,
+       coalesce(o.n, 0) AS order_count,
+       c.c_custkey IS NOT NULL AS has_customer,
+       o.o_custkey IS NOT NULL AS has_orders
+FROM (SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n
+                 FROM orders GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+def outer_join_orders(
+    customer: ray.data.Dataset, orders: ray.data.Dataset
+) -> ray.data.Dataset:
+    """BUILDING-segment customers FULL OUTER JOIN per-custkey order
+    counts; one row per custkey with explicit presence flags."""
+    from ray.data.aggregate import Sum
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(
+            pc.equal(batch["c_mktsegment"], pa.scalar("BUILDING")))
+        n = sel.num_rows
+        return pa.Table.from_pydict({
+            "custkey": sel["c_custkey"],
+            "c_name": sel["c_name"],
+            "order_count": pa.array([0] * n, pa.int64()),
+            "is_left": pa.array([True] * n, pa.bool_()),
+        })
+
+    def right_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["o_custkey"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.Table.from_pydict(
+            {"custkey": pa.array(keys, pa.int64()),
+             "n": pa.array(counts, pa.int64())})
+
+    right = orders.map_batches(
+        right_partial, batch_format="pyarrow"
+    ).groupby("custkey").aggregate(Sum("n", alias_name="n"))
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "custkey": batch["custkey"],
+            "c_name": pa.array([""] * n, pa.string()),
+            "order_count": batch["n"],
+            "is_left": pa.array([False] * n, pa.bool_()),
+        })
+
+    both = customer.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow"))
+
+    def emit(group: pa.Table) -> pa.Table:
+        is_left = group["is_left"].to_pylist()
+        names = group["c_name"].to_pylist()
+        counts = group["order_count"].to_pylist()
+        name, cnt, has_c, has_o = "", 0, False, False
+        for k in range(group.num_rows):
+            if is_left[k]:
+                has_c, name = True, names[k]
+            else:
+                has_o, cnt = True, counts[k]
+        return pa.Table.from_pydict({
+            "custkey": group["custkey"][:1],
+            "c_name": pa.array([name], pa.string()),
+            "order_count": pa.array([cnt], pa.int64()),
+            "has_customer": pa.array([has_c], pa.bool_()),
+            "has_orders": pa.array([has_o], pa.bool_()),
+        })
+
+    return both.groupby("custkey").map_groups(emit, batch_format="pyarrow")

@@ -698,3 +698,34 @@ class TestRankedDocs:
                     .reset_index(drop=True))
             want["rank"] = np.arange(len(want), dtype=np.int64)
             pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+class TestOuterJoin:
+    def test_both_sides_unmatched_and_batch_invariant(self, ray_session):
+        import pandas as pd
+
+        from nmalign_ray.functions import relational as rel
+
+        cust = pa.Table.from_pydict({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+            "c_mktsegment": pa.array(
+                ["BUILDING", "BUILDING", "AUTO", "BUILDING"], pa.string()),
+        })
+        orders = pa.Table.from_pydict({
+            "o_custkey": pa.array([2, 2, 3, 9], pa.int64())})
+        for parts in (1, 3):
+            out = rel.outer_join_orders(
+                ray_session.data.from_arrow(cust).repartition(parts),
+                ray_session.data.from_arrow(orders).repartition(parts),
+            ).to_pandas().sort_values("custkey").reset_index(drop=True)
+            want = pd.DataFrame({
+                "custkey": [1, 2, 3, 4, 9],
+                "c_name": ["a", "b", "", "d", ""],
+                "order_count": [0, 2, 1, 0, 1],
+                "has_customer": [True, True, False, True, False],
+                "has_orders": [False, True, True, False, True],
+            })
+            # custkey 3 is AUTO: right-only; 1 and 4: left-only; 9: no
+            # customer row at all
+            pd.testing.assert_frame_equal(out, want, check_dtype=False)
