@@ -430,6 +430,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_docs": lambda sf: relational.ranked_docs(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
+        "key_skew": lambda sf: relational.key_skew(
+            _read(sf, "events", ["user_id"])
+        ),
+        "soft_sample": lambda sf: textstats.soft_sample(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "outer_join_orders": lambda sf: relational.outer_join_orders(
             _read(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
             _read(sf, "orders", ["o_custkey"]),
@@ -531,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "ranked_docs": relational.RANKED_DOCS_SQL,
         "outer_join_orders": relational.OUTER_JOIN_SQL,
+        "key_skew": relational.KEY_SKEW_SQL,
+        "soft_sample": textstats.SOFT_SAMPLE_SQL,
         "top_terms": textstats.TOP_TERMS_SQL,
         "hash_sample": textstats.HASH_SAMPLE_SQL,
         "pii_redact": textstats.PII_REDACT_SQL,

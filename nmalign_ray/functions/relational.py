@@ -964,3 +964,90 @@ def outer_join_orders(
         })
 
     return both.groupby("custkey").map_groups(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Hot-key / skew profiler: the diagnostic every shuffle decision in this
+# repo leans on (salting thresholds, bucket caps, per-key group bounds)
+# as a first-class operator.  Per-batch partial counts collapse the
+# event stream to (key, cnt) rows before the distinct-keys-sized
+# groupby; the final top-k + global stats are computed from BOUNDED
+# per-block partials (k rows + one stats row per block), never a
+# driver-side collect of the full key histogram.  skew = max key count
+# over the mean key count.
+# ---------------------------------------------------------------------------
+
+KEY_SKEW_K = 10
+
+KEY_SKEW_SQL = f"""
+WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             max(cnt) AS max_cnt
+      FROM k),
+t AS (SELECT user_id, cnt FROM k ORDER BY cnt DESC, user_id LIMIT {KEY_SKEW_K})
+SELECT t.user_id, t.cnt, s.n_keys, s.n_rows, s.max_cnt,
+       s.max_cnt / (s.n_rows / CAST(s.n_keys AS DOUBLE)) AS skew
+FROM t, s
+"""
+
+
+def key_skew(events: ray.data.Dataset, k: int = KEY_SKEW_K
+             ) -> ray.data.Dataset:
+    """Top-k hottest keys with global key-distribution stats."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(keys, pa.int64()),
+             "cnt": pa.array(counts, pa.int64())})
+
+    per_key = events.map_batches(
+        partial, batch_format="pyarrow"
+    ).groupby("user_id").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cnt))[:k]
+        return pa.Table.from_pydict({
+            "user_id": pa.array(
+                np.concatenate([ids[order], [-1]]), pa.int64()),
+            "cnt": pa.array(np.concatenate([cnt[order], [0]]), pa.int64()),
+            "n_keys": pa.array([0] * len(order) + [len(ids)], pa.int64()),
+            "n_rows": pa.array(
+                [0] * len(order) + [int(cnt.sum())], pa.int64()),
+            "max_cnt": pa.array(
+                [0] * len(order) + [int(cnt.max()) if len(cnt) else 0],
+                pa.int64()),
+            "is_stats": pa.array(
+                [False] * len(order) + [True], pa.bool_()),
+        })
+
+    parts = per_key.map_batches(
+        block_partial, batch_format="pyarrow").to_pandas()
+    if "is_stats" not in parts.columns:  # zero-block collect
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "user_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "n_keys": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "max_cnt": pa.array([], pa.int64()),
+            "skew": pa.array([], pa.float64())}))
+    stats = parts[parts["is_stats"]]
+    n_keys = int(stats["n_keys"].sum())
+    n_rows = int(stats["n_rows"].sum())
+    max_cnt = int(stats["max_cnt"].max())
+    top = parts[~parts["is_stats"]].sort_values(
+        ["cnt", "user_id"], ascending=[False, True]).head(k)
+    skew = max_cnt / (n_rows / float(n_keys))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+        "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+        "n_keys": pa.array([n_keys] * len(top), pa.int64()),
+        "n_rows": pa.array([n_rows] * len(top), pa.int64()),
+        "max_cnt": pa.array([max_cnt] * len(top), pa.int64()),
+        "skew": pa.array([skew] * len(top), pa.float64()),
+    }))

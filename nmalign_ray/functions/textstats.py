@@ -987,3 +987,58 @@ def mix_sample(ds: ray.data.Dataset, budget: int = MIX_TOKEN_BUDGET
 
     return ds.map_batches(narrow, batch_format="pyarrow").groupby(
         "source").map_groups(cut, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (the CCNet-style "soft filter":
+# Wenzek et al. 2020 keep documents with probability tied to a quality
+# signal instead of a hard cutoff).  Here keep_prob = min(1, 2*stop_ratio)
+# — stop_ratio is already pinned to 6dp by the quality oracle — and the
+# coin flip is the doc's md5-low32 fraction, so the sample is
+# DETERMINISTIC, reproducible across runs/cluster sizes, and exactly
+# recomputable in SQL.  Map-side only: no shuffle, no state.
+# ---------------------------------------------------------------------------
+
+SOFT_SAMPLE_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t IN ({_EN})))
+           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           END, 6) AS stop_ratio,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0 AS hash_frac
+  FROM documents
+)
+SELECT doc_id,
+       least(1.0, 2.0 * stop_ratio) AS keep_prob,
+       hash_frac
+FROM q
+WHERE hash_frac < least(1.0, 2.0 * stop_ratio)
+"""
+
+
+def soft_sample(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep each document with deterministic probability
+    min(1, 2*stop_ratio): md5-low32(doc_id)/2^32 plays the uniform
+    draw.  Stateless map — the 100-TB cost is one streaming pass."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        stop_ratio = q["stop_ratio"].to_numpy(zero_copy_only=False)
+        prob = np.minimum(1.0, 2.0 * stop_ratio)
+        frac = np.array([
+            int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[:4], "big")
+            / 4294967296.0
+            for d in batch["doc_id"].to_pylist()])
+        mask = frac < prob
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].combine_chunks().filter(
+                pa.array(mask, pa.bool_())),
+            "keep_prob": pa.array(prob[mask], pa.float64()),
+            "hash_frac": pa.array(frac[mask], pa.float64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")

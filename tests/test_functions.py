@@ -729,3 +729,42 @@ class TestOuterJoin:
             # custkey 3 is AUTO: right-only; 1 and 4: left-only; 9: no
             # customer row at all
             pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+class TestKeySkew:
+    def test_skewed_key_surfaces_with_exact_stats(self, ray_session):
+        from nmalign_ray.functions import relational as rel
+
+        ids = [5] * 40 + list(range(100, 120))  # one hot key + 20 singles
+        tbl = pa.Table.from_pydict({"user_id": pa.array(ids, pa.int64())})
+        out = rel.key_skew(
+            ray_session.data.from_arrow(tbl).repartition(4), k=3
+        ).to_pandas()
+        assert len(out) == 3
+        assert out.iloc[0]["user_id"] == 5 and out.iloc[0]["cnt"] == 40
+        assert (out["n_keys"] == 21).all()
+        assert (out["n_rows"] == 60).all()
+        assert (out["max_cnt"] == 40).all()
+        assert out.iloc[0]["skew"] == 40 / (60 / 21.0)
+        # ties broken by smaller key id
+        assert list(out["user_id"][1:]) == [100, 101]
+
+
+class TestSoftSample:
+    def test_deterministic_subset_with_consistent_threshold(
+            self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [("the and of a " * (i % 5)) + "filler words here x y z"
+                 for i in range(40)]
+        ds1 = ray_session.data.from_arrow(docs_table(texts))
+        ds2 = ray_session.data.from_arrow(docs_table(texts)).repartition(5)
+        a = ts.soft_sample(ds1).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        b = ts.soft_sample(ds2).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert 0 < len(a) < 40  # neither empty nor everything
+        assert (a["hash_frac"] < a["keep_prob"]).all()
