@@ -135,6 +135,9 @@ def run_bench() -> dict:
         "mix_sample",
         "bloom_decontaminate",
         "ranked_docs",
+        "outer_join_orders",
+        "key_skew",
+        "soft_sample",
         "nation_revenue",
         "jaccard_sample",
         "quality_filter",

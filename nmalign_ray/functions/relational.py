@@ -945,25 +945,49 @@ def outer_join_orders(
     both = customer.map_batches(left_rows, batch_format="pyarrow").union(
         right.map_batches(right_rows, batch_format="pyarrow"))
 
-    def emit(group: pa.Table) -> pa.Table:
-        is_left = group["is_left"].to_pylist()
-        names = group["c_name"].to_pylist()
-        counts = group["order_count"].to_pylist()
-        name, cnt, has_c, has_o = "", 0, False, False
-        for k in range(group.num_rows):
-            if is_left[k]:
-                has_c, name = True, names[k]
-            else:
-                has_o, cnt = True, counts[k]
+    # one Ray group PER KEY pays per-group dispatch (measured: 15k
+    # single-key groups cost ~5 s of a 6 s query at sf0.1) — shuffle on
+    # a coarse shard of the key instead and merge each shard's keys
+    # VECTORIZED inside one task (same trick as the LSH bucket stages)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    width = max(16, cpus * 4)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = batch["custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(keys % width, pa.int64()))
+
+    def merge_shard(group: pa.Table) -> pa.Table:
+        is_left = group["is_left"].to_numpy(zero_copy_only=False)
+        keys = group["custkey"].to_numpy(zero_copy_only=False)
+        lkeys, lnames = keys[is_left], np.array(
+            group["c_name"].to_pylist(), dtype=object)[is_left]
+        rkeys = keys[~is_left]
+        rcnts = group["order_count"].to_numpy(
+            zero_copy_only=False)[~is_left]
+        lo, ro = np.argsort(lkeys), np.argsort(rkeys)
+        lkeys, lnames = lkeys[lo], lnames[lo]
+        rkeys, rcnts = rkeys[ro], rcnts[ro]
+        all_keys = np.union1d(lkeys, rkeys)
+        has_c = np.isin(all_keys, lkeys)
+        has_o = np.isin(all_keys, rkeys)
+        names = np.full(len(all_keys), "", dtype=object)
+        names[has_c] = lnames
+        cnts = np.zeros(len(all_keys), dtype=np.int64)
+        cnts[has_o] = rcnts
         return pa.Table.from_pydict({
-            "custkey": group["custkey"][:1],
-            "c_name": pa.array([name], pa.string()),
-            "order_count": pa.array([cnt], pa.int64()),
-            "has_customer": pa.array([has_c], pa.bool_()),
-            "has_orders": pa.array([has_o], pa.bool_()),
+            "custkey": pa.array(all_keys, pa.int64()),
+            "c_name": pa.array(names.tolist(), pa.string()),
+            "order_count": pa.array(cnts, pa.int64()),
+            "has_customer": pa.array(has_c, pa.bool_()),
+            "has_orders": pa.array(has_o, pa.bool_()),
         })
 
-    return both.groupby("custkey").map_groups(emit, batch_format="pyarrow")
+    return both.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard").map_groups(merge_shard, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
