@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "extract_align_trimix",
         "extract_align_merged",
         "extract_align_html",
+        "extract_align_pdf",
         "extract_align_mix5",
         "align_metrics",
         "rollup_text",

@@ -438,6 +438,66 @@ def _dhtml_spans(segs: list[str]):
     return spans, refs
 
 
+def _dpdf_wrap(s: str, width: int = 28) -> str:
+    """Deterministic hard-wrap with hyphenation artifacts — the zero-rng
+    counterpart of ``_wrap_pdf`` whose reversal by ``extract/pdf.py``
+    (``parse_pdf_text``) is EXACT:
+
+    * words longer than 6 chars that overflow the line are always cut at
+      ``len//2`` with the historic ``⸗`` hyphen — the parse's
+      ``[-⸗]\\n`` join restores the word bit-for-bit;
+    * shorter overflowing words break to a new line — the parse's
+      ``" *\\n *" -> " "`` collapse restores the single separator space;
+    * a line is never broken right after a word ending in ``-``/``⸗``
+      (the join regex would swallow that char): the word overflows the
+      line instead, keeping the reversal exact for arbitrary vocabulary.
+
+    Input invariant (holds for all corpus chunks: whitespace-split words
+    joined with single spaces): single-space separators, no newlines —
+    so ``parse_pdf_text(_dpdf_wrap(s)) == [s]`` for every chunk."""
+    out: list[str] = []
+    line_len = 0
+    for word in s.split(" "):
+        if not line_len or line_len + 1 + len(word) <= width:
+            out.append((" " if line_len else "") + word)
+            line_len += len(word) + (1 if line_len else 0)
+        elif out[-1][-1:] in ("-", "⸗"):
+            out.append(" " + word)
+            line_len += len(word) + 1
+        elif len(word) > 6:
+            cut = len(word) // 2
+            out.append(" " + word[:cut] + "⸗\n" + word[cut:])
+            line_len = len(word) - cut
+        else:
+            out.append("\n" + word)
+            line_len = len(word)
+    return "".join(out)
+
+
+def _dpdf_spans(segs: list[str]):
+    """Spans/refs of the deterministic pdf family: ONE pdf span carries
+    every glyph-noised chunk, hard-wrapped with hyphenation artifacts and
+    joined by blank lines (the north rule's "PDF layout-order parse"
+    front-end slot, reference cascade
+    ``/root/reference/nmalign/ocrd/cli.py:194-218``).  The extractor's
+    paragraph split + dehyphenation + line-break collapse
+    (``extract/pdf.py``) recovers the glyph-noised chunks exactly;
+    normalization reverses the noise so every chunk matches its reference
+    1:1 at score 1.0 and the emitted RAW text is the glyph-noised chunk —
+    a nested SQL replace, no length filter (pdf parsing keeps every
+    non-empty paragraph, unlike the html extractor's MIN_BLOCK_CHARS)."""
+    refs = [
+        {"kind": "pdf", "text": s, "media_ref": "", "offset": k}
+        for k, s in enumerate(segs)
+    ]
+    noisy = [glyph_noise(s, None) for s in segs]
+    spans = [
+        {"kind": "pdf", "text": "\n\n".join(_dpdf_wrap(c) for c in noisy),
+         "media_ref": "", "offset": 0}
+    ]
+    return spans, refs
+
+
 def corpus_from_documents(texts, doc_ids, seed: int = 42,
                           families: tuple[str, ...] = FAMILIES) -> pa.Table:
     """Derive an interleaved corpus from an existing documents table: each
@@ -471,6 +531,12 @@ def corpus_from_documents(texts, doc_ids, seed: int = 42,
             continue
         if family == "dhtml":
             spans, ref_spans = _dhtml_spans(segs)
+            out_ids.append(f"doc-{did}")
+            all_spans.append(spans)
+            all_refs.append(ref_spans)
+            continue
+        if family == "dpdf":
+            spans, ref_spans = _dpdf_spans(segs)
             out_ids.append(f"doc-{did}")
             all_spans.append(spans)
             all_refs.append(ref_spans)

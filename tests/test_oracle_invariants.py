@@ -63,6 +63,35 @@ class TestDeterministicFamilyClosedForm:
         # to all-standalone chunks
         assert merged_cands >= corp.num_rows * 0.5
 
+    def test_dpdf_wrap_reversal_and_output_is_glyph_form(self, sf_dir):
+        from nmalign_ray.corpus import corpus_from_documents, glyph_noise
+        from nmalign_ray.document import process_document
+        from nmalign_ray.extract.pdf import parse_pdf_text
+        from nmalign_ray.schema import EngineConfig
+
+        cfg = EngineConfig()
+        dids, texts = _docs(sf_dir)
+        corp = corpus_from_documents(texts, dids, families=("dpdf",))
+        hyphenated = 0
+        for spans, refs in zip(
+            corp["spans"].to_pylist(), corp["ref_spans"].to_pylist()
+        ):
+            noisy = [glyph_noise(r["text"], None) for r in refs]
+            # the wrap must be EXACTLY reversed by the pdf parse — the
+            # property that makes EXTRACT_ALIGN_PDF_SQL a valid twin
+            assert parse_pdf_text(spans[0]["text"]) == noisy
+            hyphenated += spans[0]["text"].count("⸗\n")
+            out, _ = process_document(spans, refs, cfg.align, cfg.salt_threshold)
+            expect = [
+                {"kind": "pdf", "text": n, "media_ref": "", "offset": r["offset"]}
+                for r, n in zip(refs, noisy)
+            ]
+            assert out == expect
+        # the family must actually exercise dehyphenation, not degrade
+        # to plain line breaks (measured: 171 hyphenated wraps / 500
+        # docs at sf0.001 — long words are a minority of the vocabulary)
+        assert hyphenated >= corp.num_rows * 0.2
+
     def test_dhtml_output_is_glyph_form_with_minlen_drop(self, sf_dir):
         from nmalign_ray.corpus import corpus_from_documents, glyph_noise
         from nmalign_ray.document import process_document
