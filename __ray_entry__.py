@@ -445,6 +445,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": lambda sf: relational.asof_join(
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         ),
+        "range_join": lambda sf: relational.range_join(
+            _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+        ),
+        "grouped_topk": lambda sf: relational.grouped_topk(
+            _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        ),
+        "running_totals": lambda sf: relational.running_totals(
+            _read(sf, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        ),
+        "cms_heavy_hitters": lambda sf: textstats.cms_heavy_hitters(
+            _read(sf, "documents", ["text"])
+        ),
         "value_quantiles": lambda sf: relational.value_quantiles(
             _read(sf, "events", ["user_id", "value"])
         ),
@@ -556,6 +569,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "sliding_events": relational.SLIDING_EVENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
+        "range_join": relational.RANGE_JOIN_SQL,
+        "grouped_topk": relational.GROUPED_TOPK_SQL,
+        "running_totals": relational.RUNNING_TOTALS_SQL,
+        "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "ranked_docs": relational.RANKED_DOCS_SQL,
         "outer_join_orders": relational.OUTER_JOIN_SQL,

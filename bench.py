@@ -121,6 +121,10 @@ def run_bench() -> dict:
         "sessionize",
         "sliding_events",
         "asof_join",
+        "range_join",
+        "grouped_topk",
+        "running_totals",
+        "cms_heavy_hitters",
         "value_quantiles",
         "top_terms",
         "hash_sample",

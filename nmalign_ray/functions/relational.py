@@ -1075,3 +1075,208 @@ def key_skew(events: ray.data.Dataset, k: int = KEY_SKEW_K
         "max_cnt": pa.array([max_cnt] * len(top), pa.int64()),
         "skew": pa.array([skew] * len(top), pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (per-key top-n): the windowed-rank operator Ray Data has
+# no native verb for (SQL: row_number() OVER (PARTITION BY key ORDER BY
+# ...)).  Scale shape: per-batch partials FIRST cut each batch to <= k
+# rows per key it contains (vectorized pandas sort + groupby head — no
+# per-row Python), so the exchange moves at most k rows per (key, batch)
+# instead of the full fact table; the final cut runs per COARSE shard
+# (key % width), not per key — one Ray group per key pays per-group
+# dispatch at high key cardinality (measured on the LSH buckets: 80k
+# groups = 5.7 s of a 6 s stage).  Tie order is the SQL twin's total
+# order: (o_totalprice DESC, o_orderkey ASC).
+# ---------------------------------------------------------------------------
+
+GROUPED_TOPK_K = 3
+
+GROUPED_TOPK_SQL = f"""
+SELECT o_custkey, rnk, o_orderkey,
+       round(o_totalprice, 3) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS BIGINT) AS rnk
+  FROM orders
+)
+WHERE rnk <= {GROUPED_TOPK_K}
+"""
+
+
+def grouped_topk(orders: ray.data.Dataset, k: int = GROUPED_TOPK_K
+                 ) -> ray.data.Dataset:
+    """Top-k orders per customer by (o_totalprice DESC, o_orderkey)."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(32, cpus * 4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.Table.from_arrays(
+            [batch["o_custkey"], batch["o_orderkey"], batch["o_totalprice"]],
+            ["o_custkey", "o_orderkey", "o_totalprice"],
+        ).to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        ).groupby("o_custkey", sort=False).head(k)
+        df["shard"] = (df["o_custkey"].to_numpy() % width).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        ).groupby("o_custkey", sort=False).head(k)
+        rnk = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {"o_custkey": g["o_custkey"].to_numpy(),
+             "rnk": rnk.to_numpy(dtype=np.int64),
+             "o_orderkey": g["o_orderkey"].to_numpy(),
+             "o_totalprice": round_half_away(
+                 g["o_totalprice"].to_numpy(dtype=np.float64), 3)}
+        )
+
+    return orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "shard", num_partitions=max(32, cpus)
+    ).map_groups(per_shard, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Per-key running totals (cumulative windowed aggregate, SQL: sum() OVER
+# (PARTITION BY key ORDER BY ...) ROWS UNBOUNDED PRECEDING).  One hash
+# shuffle on a coarse shard of the key, then a vectorized in-task
+# per-key cumsum over exact int64 cents (associative — batch boundaries
+# cannot flip the rounding; see the module docstring's determinism
+# note).  Partitioning assumption: one shard's rows fit in one task —
+# shards are key-hash-balanced, so only a pathologically hot single key
+# would need salting + a two-level prefix-sum.
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 3)
+         AS running_total
+FROM orders
+"""
+
+
+def running_totals(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Cumulative per-customer revenue in (o_orderdate, o_orderkey) order."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(32, cpus * 4)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pa.array(
+            batch["o_custkey"].to_numpy(zero_copy_only=False) % width,
+            pa.int64())
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], batch["o_orderkey"], batch["o_orderdate"],
+             batch["o_totalprice"], shard],
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+             "shard"])
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        run = (
+            pd.Series(_cents(g["o_totalprice"].to_numpy()))
+            .groupby(g["o_custkey"].to_numpy(), sort=False).cumsum()
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {"o_custkey": g["o_custkey"].to_numpy(),
+             "o_orderkey": g["o_orderkey"].to_numpy(),
+             "o_orderdate": g["o_orderdate"].to_numpy(),
+             "running_total": round_half_away(run / 100.0, 3)}
+        )
+
+    def pin_types(batch: pa.Table) -> pa.Table:
+        # the pandas round-trip widens timestamps to ns; pin the input's us
+        idx = batch.schema.get_field_index("o_orderdate")
+        return batch.set_column(
+            idx, "o_orderdate",
+            pc.cast(batch["o_orderdate"], pa.timestamp("us")))
+
+    return orders.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=max(32, cpus)
+    ).map_groups(per_shard, batch_format="pandas").map_batches(
+        pin_types, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: each probe event (event_id % RANGE_JOIN_MOD == 0)
+# aggregates the SAME user's events with ts in (probe.ts, probe.ts + 1h]
+# — the time-window lookup Ray Data cannot express natively.  One hash
+# shuffle co-locates each user's rows; the in-group kernel sorts the
+# quote side once and answers every probe with two binary searches over
+# the sorted timestamps plus a prefix-sum difference of exact int64
+# cents (O((n+p) log n) per user, no pairwise expansion).  Probes with
+# an empty window are KEPT at zero (left-join semantics) so the output
+# is NULL-free.  Partitioning assumption: one user's events fit in one
+# group (same documented bound as asof_join/sessionize).
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_MOD = 50
+
+RANGE_JOIN_SQL = f"""
+WITH probe AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_id % {RANGE_JOIN_MOD} = 0
+)
+SELECT p.user_id, p.event_id, p.ts,
+       CAST(count(q.event_id) AS BIGINT) AS n_in_window,
+       round(CAST(coalesce(sum(CAST(q.value AS DECIMAL(18,2))), 0)
+                  AS DOUBLE), 3) AS sum_value
+FROM probe p
+LEFT JOIN events q
+  ON q.user_id = p.user_id
+ AND q.ts > p.ts AND q.ts <= p.ts + INTERVAL 1 HOUR
+GROUP BY p.user_id, p.event_id, p.ts
+"""
+
+
+def range_join(events: ray.data.Dataset, probe_mod: int = RANGE_JOIN_MOD
+               ) -> ray.data.Dataset:
+    """Windowed range join: per probe event, count/sum of the same user's
+    events in the following hour."""
+    window = pd.Timedelta(hours=1)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["event_id"].to_numpy() % probe_mod == 0]
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        csum = np.concatenate(
+            [[0], np.cumsum(_cents(g["value"].to_numpy()))])
+        lo = np.searchsorted(ts, probes["ts"].to_numpy(), side="right")
+        hi = np.searchsorted(
+            ts, (probes["ts"] + window).to_numpy(), side="right")
+        return pd.DataFrame(
+            {"user_id": probes["user_id"].to_numpy(),
+             "event_id": probes["event_id"].to_numpy(),
+             "ts": probes["ts"].to_numpy(),
+             "n_in_window": (hi - lo).astype(np.int64),
+             "sum_value": round_half_away(
+                 (csum[hi] - csum[lo]) / 100.0, 3)}
+        )
+
+    def pin_types(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("ts")
+        return batch.set_column(
+            idx, "ts", pc.cast(batch["ts"], pa.timestamp("us")))
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return events.groupby(
+        "user_id", num_partitions=max(32, cpus)
+    ).map_groups(per_user, batch_format="pandas").map_batches(
+        pin_types, batch_format="pyarrow")

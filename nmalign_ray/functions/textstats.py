@@ -1042,3 +1042,130 @@ def soft_sample(ds: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005, "An
+# improved data stream summary: the count-min sketch"): approximate
+# per-token counts in CMS_DEPTH x CMS_WIDTH cells — the fixed-memory
+# answer to token frequency at 100 TB, where an exact per-token groupby
+# moves a vocabulary-sized exchange.  The sketch build is distributed
+# (per-batch (row, col, cnt) partials -> groupby cell sum; at most
+# CMS_DEPTH*CMS_WIDTH rows survive to the driver — provably bounded);
+# the heavy-hitter report takes the exact top-k terms (reusing the
+# vocabulary-sized top_terms aggregate) and attaches each one's CMS
+# point estimate min_i(cell[i, (h1 + i*h2) % W]).  The estimate is
+# DETERMINISTIC md5 double-hash arithmetic, so the DuckDB twin
+# recomputes the identical sketch and matches bit-for-bit — including
+# the overestimation error the sketch's collisions introduce, which is
+# exactly the property worth pinning.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 30
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH counts AS (
+  SELECT t, count(*) AS c
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents WHERE trim(text) <> ''
+  )
+  GROUP BY t
+),
+hashed AS (
+  SELECT t, c,
+         CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % {CMS_WIDTH}
+              AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(t), 17, 16))::UBIGINT % {CMS_WIDTH}
+              AS BIGINT) AS h2
+  FROM counts
+),
+cells AS (
+  SELECT g.i, (h1 + g.i * h2) % {CMS_WIDTH} AS col, sum(c) AS cell_sum
+  FROM hashed, generate_series(0, {CMS_DEPTH - 1}) AS g(i)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {CMS_TOPK}
+)
+SELECT top.t AS term, top.c AS exact_cnt,
+       CAST(min(cells.cell_sum) AS BIGINT) AS cms_estimate
+FROM top
+JOIN hashed h ON h.t = top.t
+JOIN cells ON cells.col = (h.h1 + cells.i * h.h2) % {CMS_WIDTH}
+GROUP BY 1, 2
+"""
+
+
+def cms_heavy_hitters(ds: ray.data.Dataset, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH, k: int = CMS_TOPK
+                      ) -> ray.data.Dataset:
+    """Exact top-k terms with their count-min sketch estimates."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counts.update(text.strip().lower().split())
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    vocab = ds.map_batches(term_partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [[int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                             "big") % width,
+              int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                             "big") % width]
+             for t in terms], dtype=np.int64
+        ).reshape(-1, 2)
+        rows, cols, sums = [], [], []
+        for i in range(depth):
+            col = (h[:, 0] + i * h[:, 1]) % width
+            # collapse this batch's increments per cell before the shuffle
+            uniq, inv = np.unique(col, return_inverse=True)
+            rows.append(np.full(len(uniq), i, dtype=np.int64))
+            cols.append(uniq)
+            sums.append(np.bincount(inv, weights=cnt).astype(np.int64))
+        return pa.Table.from_pydict(
+            {"row": pa.array(np.concatenate(rows), pa.int64()),
+             "col": pa.array(np.concatenate(cols), pa.int64()),
+             "cell_sum": pa.array(np.concatenate(sums), pa.int64())})
+
+    # the sketch is merged from per-block (row, col, cell_sum) partials
+    # with a single bounded collect — each block contributes at most
+    # depth*width rows, and the merged sketch is exactly depth*width
+    # cells regardless of corpus size
+    parts = vocab.map_batches(cell_partial, batch_format="pyarrow").to_pandas()
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    if "row" in parts.columns:
+        np.add.at(sketch,
+                  (parts["row"].to_numpy(), parts["col"].to_numpy()),
+                  parts["cell_sum"].to_numpy())
+
+    def cut(df):
+        top = df.sort_values(["cnt", "term"], ascending=[False, True]).head(k)
+        est = []
+        for t in top["term"]:
+            dig = hashlib.md5(t.encode("utf-8")).digest()
+            h1 = int.from_bytes(dig[:8], "big") % width
+            h2 = int.from_bytes(dig[8:16], "big") % width
+            est.append(int(min(
+                sketch[i, (h1 + i * h2) % width] for i in range(depth))))
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"term": top["term"].to_numpy(),
+             "exact_cnt": top["cnt"].to_numpy(dtype=np.int64),
+             "cms_estimate": np.asarray(est, dtype=np.int64)})
+
+    return ray.data.from_pandas(cut(vocab.to_pandas()))
