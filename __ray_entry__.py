@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": lambda sf: relational.value_quantiles(
             _read(sf, "events", ["user_id", "value"])
         ),
+        "global_quantiles": lambda sf: relational.global_quantiles(
+            _read(sf, "documents", ["n_chars"])
+        ),
         "ranked_docs": lambda sf: relational.ranked_docs(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
@@ -575,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "ranked_docs": relational.RANKED_DOCS_SQL,
+        "global_quantiles": relational.GLOBAL_QUANTILES_SQL,
         "outer_join_orders": relational.OUTER_JOIN_SQL,
         "key_skew": relational.KEY_SKEW_SQL,
         "soft_sample": textstats.SOFT_SAMPLE_SQL,

@@ -126,6 +126,7 @@ def run_bench() -> dict:
         "running_totals",
         "cms_heavy_hitters",
         "value_quantiles",
+        "global_quantiles",
         "top_terms",
         "hash_sample",
         "pii_redact",

@@ -1280,3 +1280,71 @@ def range_join(events: ray.data.Dataset, probe_mod: int = RANGE_JOIN_MOD
         "user_id", num_partitions=max(32, cpus)
     ).map_groups(per_user, batch_format="pandas").map_batches(
         pin_types, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact GLOBAL quantiles by index selection over the range-partitioned
+# sort (value_quantiles is per-key; this is the corpus-wide flavor).
+# The sorted dataset's per-block COUNTS (one int per block) are the only
+# driver-side data; each target index floor((n-1)*q) maps to one
+# (block, local index) and a remote task fetches just that scalar —
+# selection, not interpolation, so the int64 values pass through
+# exactly.  At 100 TB this is one sort shuffle + blocks-many ints +
+# len(qs) scalar fetches; an approximate corpus would swap the sort for
+# a t-digest-style sketch, which this operator deliberately is not (the
+# exact flavor is the hash-verifiable one).
+# ---------------------------------------------------------------------------
+
+GLOBAL_QUANTILES_SQL = """
+WITH g AS (SELECT list_sort(list(n_chars)) AS v, count(*) AS n
+           FROM documents)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       v[CAST(floor((n - 1) * 0.25) AS BIGINT) + 1] AS p25,
+       v[CAST(floor((n - 1) * 0.50) AS BIGINT) + 1] AS p50,
+       v[CAST(floor((n - 1) * 0.75) AS BIGINT) + 1] AS p75,
+       v[CAST(floor((n - 1) * 0.90) AS BIGINT) + 1] AS p90
+FROM g
+"""
+
+GLOBAL_QUANTILES_QS = (0.25, 0.50, 0.75, 0.90)
+
+
+def global_quantiles(ds: ray.data.Dataset,
+                     qs: tuple = GLOBAL_QUANTILES_QS) -> ray.data.Dataset:
+    """Exact global p25/p50/p75/p90 of documents.n_chars."""
+    sorted_ds = ds.sort("n_chars")
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    @ray.remote
+    def _pick(tbl: pa.Table, idxs: list) -> list:
+        col = tbl["n_chars"].to_pylist()
+        return [col[i] for i in idxs]
+
+    counts = np.asarray(ray.get([_count.remote(r) for r in refs]),
+                        dtype=np.int64)
+    total = int(counts.sum())
+    names = ["n_rows"] + [f"p{int(q * 100)}" for q in qs]
+    if total == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {n: pa.array([0 if n == "n_rows" else None], pa.int64())
+             for n in names}))
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    per_block: dict[int, list] = {}
+    for q in qs:
+        t = int(np.floor((total - 1) * q))
+        b = int(np.searchsorted(offs, t, side="right") - 1)
+        per_block.setdefault(b, []).append((q, t - int(offs[b])))
+    futs = [(pairs, _pick.remote(refs[b], [li for _, li in pairs]))
+            for b, pairs in per_block.items()]
+    vals = {}
+    for pairs, f in futs:
+        for (q, _), v in zip(pairs, ray.get(f)):
+            vals[q] = int(v)
+    row = {"n_rows": total}
+    row.update({f"p{int(q * 100)}": vals[q] for q in qs})
+    return ray.data.from_arrow(pa.Table.from_pydict(
+        {n: pa.array([row[n]], pa.int64()) for n in names}))
