@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": lambda sf: relational.global_quantiles(
             _read(sf, "documents", ["n_chars"])
         ),
+        "sampled_quantiles": lambda sf: textstats.sampled_quantiles(
+            _read(sf, "documents", ["doc_id", "n_chars"])
+        ),
         "ranked_docs": lambda sf: relational.ranked_docs(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
@@ -579,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "ranked_docs": relational.RANKED_DOCS_SQL,
         "global_quantiles": relational.GLOBAL_QUANTILES_SQL,
+        "sampled_quantiles": textstats.SAMPLED_QUANTILES_SQL,
         "outer_join_orders": relational.OUTER_JOIN_SQL,
         "key_skew": relational.KEY_SKEW_SQL,
         "soft_sample": textstats.SOFT_SAMPLE_SQL,

@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "cms_heavy_hitters",
         "value_quantiles",
         "global_quantiles",
+        "sampled_quantiles",
         "top_terms",
         "hash_sample",
         "pii_redact",

@@ -1169,3 +1169,69 @@ def cms_heavy_hitters(ds: ray.data.Dataset, depth: int = CMS_DEPTH,
              "cms_estimate": np.asarray(est, dtype=np.int64)})
 
     return ray.data.from_pandas(cut(vocab.to_pandas()))
+
+
+# ---------------------------------------------------------------------------
+# Sample-based quantile sketch: the SCALE path for corpus quantiles
+# (relational.global_quantiles is the exact flavor — a full
+# range-partitioned sort).  A deterministic md5(doc_id)-ordered sample
+# of SAMPLED_QUANTILES_S rows stands in for the corpus: each batch
+# contributes its S smallest (md5, doc_id) rows — bounded partials, no
+# sort shuffle, no vocabulary/corpus-sized exchange — and the driver
+# merge keeps the S smallest overall (provably <= S x num_batches tiny
+# rows).  Quantiles are index SELECTION on the sorted sample values, so
+# the int64 estimates match the SQL twin bit-for-bit; the estimator
+# error vs the exact quantile is the sketch property a consumer
+# measures against global_quantiles.  Completes the sketch family: KMV
+# (cardinality), Bloom (membership), CMS (frequency), sample
+# (quantiles).
+# ---------------------------------------------------------------------------
+
+SAMPLED_QUANTILES_S = 256
+
+SAMPLED_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT n_chars FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {SAMPLED_QUANTILES_S}
+),
+g AS (SELECT list_sort(list(n_chars)) AS v, count(*) AS n FROM s)
+SELECT CAST(n AS BIGINT) AS sample_n,
+       v[CAST(floor((n - 1) * 0.25) AS BIGINT) + 1] AS p25,
+       v[CAST(floor((n - 1) * 0.50) AS BIGINT) + 1] AS p50,
+       v[CAST(floor((n - 1) * 0.75) AS BIGINT) + 1] AS p75,
+       v[CAST(floor((n - 1) * 0.90) AS BIGINT) + 1] AS p90
+FROM g
+"""
+
+
+def sampled_quantiles(ds: ray.data.Dataset,
+                      s: int = SAMPLED_QUANTILES_S) -> ray.data.Dataset:
+    """Quantile estimates of documents.n_chars from a deterministic
+    md5-ordered sample of s documents."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(str(d).encode()).hexdigest() for d in dids]
+        df = pd.DataFrame(
+            {"key": keys, "doc_id": dids,
+             "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["key", "doc_id"], kind="mergesort").head(s)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    names = ["sample_n", "p25", "p50", "p75", "p90"]
+    if "key" not in parts.columns:  # zero-row collect is column-less
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {n: pa.array([0 if n == "sample_n" else None], pa.int64())
+             for n in names}))
+    top = parts.sort_values(["key", "doc_id"], kind="mergesort").head(s)
+    v = np.sort(top["n_chars"].to_numpy(dtype=np.int64))
+    n = len(v)
+    row = {"sample_n": n}
+    for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"),
+                    (0.90, "p90")):
+        row[name] = int(v[int(np.floor((n - 1) * q))]) if n else None
+    return ray.data.from_arrow(pa.Table.from_pydict(
+        {k: pa.array([row[k]], pa.int64()) for k in names}))
