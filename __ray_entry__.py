@@ -352,6 +352,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _explode_output(out)
 
+    def extract_align_mix6(sf_dir):
+        # six-family heterogeneous corpus (identity/glyph/ocr/dmerged/
+        # dhtml/dpdf by doc_id % 6): the widest hash-verified query —
+        # batches mix 1:1 alignment, reversible and irreversible noise,
+        # real subsegmentation splits, AND both extraction front-ends
+        # (html boilerplate strip and pdf layout parse) in one run.
+        from nmalign_ray.pipelines import build_extract_pipeline
+        from nmalign_ray.schema import EngineConfig
+
+        out = build_extract_pipeline(
+            derived_corpus(
+                sf_dir,
+                families=("identity", "glyph", "ocr", "dmerged", "dhtml",
+                          "dpdf"),
+            ),
+            EngineConfig(),
+        )
+        return _explode_output(out)
+
     def extract_align_mix5(sf_dir):
         # five-family heterogeneous corpus (identity/glyph/ocr/dmerged/
         # dhtml by doc_id % 5): one hash-verified query where batches mix
@@ -394,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_align_html": extract_align_html,
         "extract_align_pdf": extract_align_pdf,
         "extract_align_mix5": extract_align_mix5,
+        "extract_align_mix6": extract_align_mix6,
         # --- text analysis (SQL-verified) ---
         "normalize_docs": lambda sf: textstats.normalize_docs(_read(sf, "documents", ["doc_id", "text"])),
         "token_counts": lambda sf: textstats.token_counts(_read(sf, "documents", ["doc_id", "text"])),
@@ -548,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_align_html": EXTRACT_ALIGN_HTML_SQL,
         "extract_align_pdf": EXTRACT_ALIGN_PDF_SQL,
         "extract_align_mix5": EXTRACT_ALIGN_MIX5_SQL,
+        "extract_align_mix6": EXTRACT_ALIGN_MIX6_SQL,
         "align_metrics": ALIGN_METRICS_SQL,
         "rollup_text": ROLLUP_TEXT_SQL,
         "normalize_docs": textstats.NORMALIZE_SQL,
@@ -828,6 +849,45 @@ SELECT doc_id, "order", 'pdf' AS kind,
        '' AS media_ref
 FROM x
 """
+
+# Six-family mix: family = doc_id % 6 over (identity, glyph, ocr,
+# dmerged, dhtml, dpdf) — the widest heterogeneous oracle, exercising
+# both extraction front-ends plus the split path in one hash check.
+EXTRACT_ALIGN_MIX6_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS key,
+         'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT key, doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+),
+x AS (
+  SELECT key, doc_id,
+         CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+         unnest(seglist) AS seg
+  FROM segs
+)
+SELECT doc_id, "order",
+       CASE WHEN key % 6 = 4 THEN 'html'
+            WHEN key % 6 = 5 THEN 'pdf'
+            ELSE 'text' END AS kind,
+       CASE key % 6
+         WHEN 0 THEN seg
+         WHEN 1 THEN {{GLYPH}}
+         WHEN 2 THEN {{OCR}}
+         WHEN 3 THEN replace(seg, ' ', '_')
+         ELSE {{GLYPH}}
+       END AS text,
+       '' AS media_ref
+FROM x
+WHERE NOT (key % 6 = 4 AND len({{GLYPH}}) < 10)
+""".replace("{GLYPH}", _GLYPH_REPLACE).replace("{OCR}", _OCR_REPLACE)
 
 # Five-family mix: family = doc_id % 5 over (identity, glyph, ocr,
 # dmerged, dhtml) — replicating corpus_from_documents' key-based

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "extract_align_html",
         "extract_align_pdf",
         "extract_align_mix5",
+        "extract_align_mix6",
         "align_metrics",
         "rollup_text",
     )
