@@ -86,9 +86,11 @@ def run_bench() -> dict:
     n_docs = entry.derived_corpus(SF_DIR).count() * max(1, REPLICAS)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         for fams in (("identity",), ("glyph",), ("ocr",), ("dmerged",),
-                     ("dhtml",), ("identity", "glyph"),
+                     ("dhtml",), ("dpdf",), ("identity", "glyph"),
                      ("identity", "glyph", "ocr"),
-                     ("identity", "glyph", "ocr", "dmerged", "dhtml")):
+                     ("identity", "glyph", "ocr", "dmerged", "dhtml"),
+                     ("identity", "glyph", "ocr", "dmerged", "dhtml",
+                      "dpdf")):
             entry.derived_corpus(SF_DIR, families=fams).count()
 
     out_dir = f"/tmp/nmalign_ray_bench/{os.getpid()}"

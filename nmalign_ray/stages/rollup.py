@@ -12,9 +12,14 @@ The reference's ``Relation type=join`` (concatenate WITHOUT the line
 separator, ``/root/reference/nmalign/ocrd/cli.py:354-358``) maps to a
 per-span attribute encoded in the ``kind`` column: a span whose kind
 carries the ``+join`` suffix (e.g. ``"text+join"``) is appended to the
-preceding fragment with no separator.  RTL / bottom-to-top reversal has
-no counterpart (order is explicit via ``offset``) and stays out of
-model.
+preceding fragment with no separator.
+
+The reference's ``textLineOrder=bottom-to-top`` reversal
+(``lines = list(reversed(lines))``,
+``/root/reference/nmalign/ocrd/cli.py:390-393``) maps to the explicit
+``bottom_to_top`` rollup option: span order is reversed per document
+before joining.  Character-level RIGHTTOLEFT glyph reversal stays out
+of model — spans carry whole text strings, not glyph sequences.
 """
 
 from __future__ import annotations
@@ -35,8 +40,10 @@ ROLLUP_SCHEMA = pa.schema(
 JOIN_SUFFIX = "+join"
 
 
-def rollup_spans(spans: list[dict]) -> str:
+def rollup_spans(spans: list[dict], bottom_to_top: bool = False) -> str:
     parts = []
+    if bottom_to_top:
+        spans = list(reversed(spans))
     for s in spans:
         kind = s.get("kind") or ""
         joined = kind.endswith(JOIN_SUFFIX)
@@ -53,7 +60,7 @@ def rollup_spans(spans: list[dict]) -> str:
     return "\n".join(parts)
 
 
-def rollup_batch(batch: pa.Table) -> pa.Table:
+def rollup_batch(batch: pa.Table, bottom_to_top: bool = False) -> pa.Table:
     rows = {"doc_id": [], "text": [], "n_spans": [], "mean_score": []}
     for did, spans, score in zip(
         batch["doc_id"].to_pylist(),
@@ -61,12 +68,20 @@ def rollup_batch(batch: pa.Table) -> pa.Table:
         batch["mean_score"].to_pylist(),
     ):
         rows["doc_id"].append(did)
-        rows["text"].append(rollup_spans(spans or []))
+        rows["text"].append(rollup_spans(spans or [], bottom_to_top))
         rows["n_spans"].append(len(spans or []))
         rows["mean_score"].append(score)
     return pa.Table.from_pydict(rows, schema=ROLLUP_SCHEMA)
 
 
-def rollup_documents(out_ds):
-    """OUTPUT_SCHEMA dataset -> one text row per document."""
-    return out_ds.map_batches(rollup_batch, batch_format="pyarrow")
+def rollup_documents(out_ds, bottom_to_top: bool = False):
+    """OUTPUT_SCHEMA dataset -> one text row per document.
+
+    ``bottom_to_top=True`` reverses each document's span order before
+    joining — the columnar counterpart of the reference's
+    ``textLineOrder=bottom-to-top`` traversal."""
+    from functools import partial
+
+    return out_ds.map_batches(
+        partial(rollup_batch, bottom_to_top=bottom_to_top),
+        batch_format="pyarrow")

@@ -186,6 +186,25 @@ class TestRollup:
         ]
         assert rollup_spans(spans) == "erste zeile\n[image:media://x/1]\nzweite zeile"
 
+    def test_rollup_bottom_to_top_reverses_span_order(self):
+        # columnar counterpart of the reference's
+        # textLineOrder=bottom-to-top traversal (ocrd/cli.py:390-393)
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [
+            {"kind": "text", "text": "unterste zeile", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "mittlere", "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "oberste", "media_ref": "", "offset": 2},
+        ]
+        assert rollup_spans(spans, bottom_to_top=True) == (
+            "oberste\nmittlere\nunterste zeile"
+        )
+        # the +join no-separator rule composes with the reversal
+        spans[1]["kind"] = "text+join"
+        assert rollup_spans(spans, bottom_to_top=True) == (
+            "oberstemittlere\nunterste zeile"
+        )
+
     def test_rollup_batch_schema(self):
         from nmalign_ray.stages.rollup import ROLLUP_SCHEMA, rollup_batch
         from nmalign_ray.document import oracle_table
