@@ -487,6 +487,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_quantiles": lambda sf: textstats.sampled_quantiles(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
+        "hourly_distinct": lambda sf: relational.hourly_distinct(
+            _read(sf, "events", ["user_id", "ts", "event_type"])
+        ),
+        "ntile_docs": lambda sf: relational.ntile_docs(
+            _read(sf, "documents", ["doc_id", "n_chars"])
+        ),
         "ranked_docs": lambda sf: relational.ranked_docs(
             _read(sf, "documents", ["doc_id", "n_chars"])
         ),
@@ -604,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "ranked_docs": relational.RANKED_DOCS_SQL,
         "global_quantiles": relational.GLOBAL_QUANTILES_SQL,
         "sampled_quantiles": textstats.SAMPLED_QUANTILES_SQL,
+        "hourly_distinct": relational.HOURLY_DISTINCT_SQL,
+        "ntile_docs": relational.NTILE_DOCS_SQL,
         "outer_join_orders": relational.OUTER_JOIN_SQL,
         "key_skew": relational.KEY_SKEW_SQL,
         "soft_sample": textstats.SOFT_SAMPLE_SQL,

@@ -120,6 +120,8 @@ def run_bench() -> dict:
         "segment_revenue",
         "top_orders",
         "hourly_events",
+        "hourly_distinct",
+        "ntile_docs",
         "sessionize",
         "sliding_events",
         "asof_join",

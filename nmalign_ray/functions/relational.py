@@ -1348,3 +1348,98 @@ def global_quantiles(ds: ray.data.Dataset,
     row.update({f"p{int(q * 100)}": vals[q] for q in qs})
     return ray.data.from_arrow(pa.Table.from_pydict(
         {n: pa.array([row[n]], pa.int64()) for n in names}))
+
+
+# ---------------------------------------------------------------------------
+# Windowed DISTINCT aggregate: distinct event types per (user, hour) —
+# the COUNT(DISTINCT ...) flavor the other window queries avoid.  Scale
+# shape: each batch first collapses to its unique (user, hour, type)
+# triples (duplicate events vanish map-side, so the exchange carries
+# distinct triples, not raw events), the shuffle key is a coarse shard
+# of user_id, and the per-shard kernel dedups across batches then
+# counts uniques per (user, hour) vectorized — never one Ray group per
+# (user, hour) pair.
+# ---------------------------------------------------------------------------
+
+HOURLY_DISTINCT_SQL = """
+SELECT user_id,
+       date_trunc('hour', ts) AS hour,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def hourly_distinct(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct event types per user per hour."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(32, cpus * 4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+             "hour": batch["ts"].to_pandas().dt.floor("h"),
+             "event_type": batch["event_type"].to_pylist()}
+        ).drop_duplicates()
+        df["shard"] = (df["user_id"].to_numpy() % width).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["user_id", "hour", "event_type"])
+            .groupby(["user_id", "hour"], as_index=False)
+            .agg(n_types=("event_type", "size"))
+        )
+        out["n_types"] = out["n_types"].astype(np.int64)
+        return out
+
+    def pin_types(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("hour")
+        return batch.set_column(
+            idx, "hour", pc.cast(batch["hour"], pa.timestamp("us")))
+
+    return events.map_batches(partial, batch_format="pyarrow").groupby(
+        "shard", num_partitions=max(32, cpus)
+    ).map_groups(per_shard, batch_format="pandas").map_batches(
+        pin_types, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucketing (ntile flavor) on the exact global rank: documents
+# ordered by (n_chars DESC, doc_id) are assigned bucket
+# floor(rank * K / n) — the explicit closed form, used in BOTH engines
+# rather than SQL's ntile() (whose remainder distribution differs).
+# Reuses ranked_docs' sorted-block rank attach; the bucket map is one
+# integer expression per row, so the only additional driver data is the
+# total row count the rank attach already computes.
+# ---------------------------------------------------------------------------
+
+NTILE_BUCKETS = 10
+
+NTILE_DOCS_SQL = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, n_chars, rank,
+       CAST(floor(rank * {NTILE_BUCKETS} / n) AS BIGINT) AS bucket
+FROM r
+"""
+
+
+def ntile_docs(ds: ray.data.Dataset,
+               k: int = NTILE_BUCKETS) -> ray.data.Dataset:
+    """Documents with their exact global rank and k-quantile bucket."""
+    ranked = ranked_docs(ds)
+    total = ranked.count()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        bucket = (rank * k // total).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
