@@ -149,6 +149,11 @@ def run_bench() -> dict:
         "key_skew",
         "soft_sample",
         "nation_revenue",
+        "inactive_customers",
+        "normalize_docs",
+        "media_features",
+        "media_resize",
+        "media_frames",
         "jaccard_sample",
         "quality_filter",
         "dedup_keepers",
