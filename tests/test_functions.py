@@ -768,3 +768,97 @@ class TestSoftSample:
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert 0 < len(a) < 40  # neither empty nor everything
         assert (a["hash_frac"] < a["keep_prob"]).all()
+
+
+class TestRangeJoinBruteForce:
+    def test_matches_pairwise_brute_force_with_boundary_ties(self, ray_session):
+        # seeded layout that forces the window-edge cases: events exactly
+        # AT the probe timestamp (excluded: strict >) and exactly at
+        # probe.ts + 1h (included: <=)
+        import pandas as pd
+        import pyarrow as pa
+
+        from nmalign_ray.functions.relational import range_join
+
+        rng = np.random.default_rng(7)
+        n = 400
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = base + (rng.integers(0, 4 * 3600, n) * 1_000_000).astype(
+            "timedelta64[us]")
+        # plant exact-boundary twins for the first 20 probes
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 5, n).astype(np.int64),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        })
+        probes = ev[ev["event_id"] % 50 == 0]
+        twins = probes.head(20).copy()
+        twins["event_id"] = twins["event_id"] + 1_000  # % 50 != 0
+        at_edge = twins.copy()
+        at_edge["event_id"] += 1_000
+        at_edge["ts"] = at_edge["ts"] + pd.Timedelta(hours=1)
+        ev = pd.concat([ev, twins, at_edge], ignore_index=True)
+
+        ds = ray_session.data.from_arrow(
+            pa.Table.from_pandas(ev, preserve_index=False))
+        got = (
+            range_join(ds).to_pandas()
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        )
+
+        rows = []
+        for _, p in ev[ev["event_id"] % 50 == 0].iterrows():
+            q = ev[(ev["user_id"] == p["user_id"])
+                   & (ev["ts"] > p["ts"])
+                   & (ev["ts"] <= p["ts"] + pd.Timedelta(hours=1))]
+            cents = np.rint(q["value"].to_numpy() * 100).astype(np.int64)
+            rows.append({"user_id": p["user_id"], "event_id": p["event_id"],
+                         "ts": p["ts"], "n_in_window": len(q),
+                         "sum_value": round(cents.sum() / 100.0, 3)})
+        want = (
+            pd.DataFrame(rows)
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the planted twins must actually exercise both boundaries
+        assert (want["n_in_window"] > 0).any()
+
+
+class TestGroupedTopkBruteForce:
+    def test_matches_pandas_rank_with_price_ties(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+
+        from nmalign_ray.functions.relational import grouped_topk
+
+        rng = np.random.default_rng(11)
+        n = 500
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 40, n).astype(np.int64),
+            # coarse price grid so equal prices occur within a customer
+            # and the o_orderkey tie-break decides the rank
+            "o_totalprice": np.round(
+                rng.integers(1, 8, n) * 10.0 + 0.25, 2),
+        })
+        ds = ray_session.data.from_arrow(
+            pa.Table.from_pandas(orders, preserve_index=False))
+        got = (
+            grouped_topk(ds).to_pandas()
+            .sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+        )
+
+        w = orders.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        w = w.groupby("o_custkey", sort=False).head(3).copy()
+        w["rnk"] = w.groupby("o_custkey", sort=False).cumcount() + 1
+        want = (
+            w[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+            .sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # ties must actually occur for the tie-break to be exercised
+        dup = orders.duplicated(["o_custkey", "o_totalprice"], keep=False)
+        assert dup.any()
