@@ -1,13 +1,15 @@
-"""Multimodal column plumbing: decode / feature-extract stages (decode stubbed).
+"""Multimodal column plumbing: decode / feature-extract / resize stages.
 
-Treats image/audio payloads as opaque ``binary`` columns with typed
-metadata, processed by an actor-pool ``map_batches`` stage — the real
-Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-with the codec itself behind a clearly marked seam: no image/audio
-libraries exist in this container, so ``DecodeStub`` produces a
-deterministic fake decode (shape + checksum derived from the bytes) and
-raises ``NotImplementedError`` in ``strict`` mode where a real codec
-would plug in.
+Treats image/audio payloads as typed ``binary`` columns processed by
+actor-pool ``map_batches`` stages.  The decode seam is REAL for
+uncompressed PPM (P6) images — a pure-numpy parser/encoder, no codec
+library needed — so dimension extraction, channel/luminance features,
+and nearest-neighbor resize operate on actual pixels for that format.
+Compressed formats (JPEG/PNG/audio/video) remain behind the clearly
+marked seam: no codec libraries exist in this container, so non-PPM
+payloads get a deterministic fake decode (shape + checksum derived from
+the bytes) and ``strict`` mode raises ``NotImplementedError`` where
+PIL / soundfile / av would plug in.
 
 Sizing note (SURVEY §4.2 / guide): binary payload rows are FAT — this
 stage must run with a SMALL ``batch_size`` (default 16) and row-based
@@ -137,13 +139,68 @@ FROM d, generate_series(0, 3) AS g(i)
 """
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a binary PPM (P6) stream."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def try_decode_ppm(payload: bytes):
+    """Pure-numpy P6 parser: ``(w, h, pixels)`` or None if not valid PPM.
+
+    Only the canonical header layout this module's encoder emits is
+    accepted (magic, one dims line, maxval 255, raw RGB); anything else
+    — including text payloads that merely start with 'P6' — falls
+    through to None and the stub/strict path."""
+    if not payload.startswith(b"P6\n"):
+        return None
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4 or parts[2].strip() != b"255":
+        return None
+    try:
+        w, h = (int(x) for x in parts[1].split())
+    except ValueError:
+        return None
+    raw = parts[3]
+    if w <= 0 or h <= 0 or len(raw) != w * h * 3:
+        return None
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synth_ppm_media_table(n: int = 8, seed: int = 42) -> pa.Table:
+    """Deterministic REAL PPM images (gradient + seeded noise) for the
+    real-decode path."""
+    rng = np.random.default_rng(seed)
+    refs, kinds, payloads = [], [], []
+    for i in range(n):
+        w = int(rng.integers(8, 48))
+        h = int(rng.integers(8, 48))
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(xx * 255 // max(1, w - 1)).astype(np.uint8),
+             (yy * 255 // max(1, h - 1)).astype(np.uint8),
+             rng.integers(0, 256, (h, w), dtype=np.uint8)],
+            axis=-1)
+        refs.append(f"media://ppm/{i}")
+        kinds.append("image")
+        payloads.append(encode_ppm(px))
+    return pa.Table.from_pydict(
+        {"media_ref": refs, "kind": kinds, "payload": payloads},
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class DecodeStub:
     """Actor-pool decode/feature stage.
 
     ``__init__`` is where a real implementation loads codecs / models once
-    per actor; ``__call__`` decodes and featurizes a batch.  ``strict=True``
-    raises ``NotImplementedError`` at the decode seam instead of faking —
-    that is the line a real deployment replaces.
+    per actor; ``__call__`` decodes and featurizes a batch.  PPM (P6)
+    payloads take the REAL path: parsed pixels, channel means, a 12-bin
+    luminance histogram.  For other formats ``strict=True`` raises
+    ``NotImplementedError`` at the decode seam instead of faking — that
+    is the line a real deployment replaces with PIL / soundfile.
     """
 
     FEATURE_DIM = 16
@@ -152,6 +209,17 @@ class DecodeStub:
         self.strict = strict
 
     def _decode(self, payload: bytes, kind: str):
+        ppm = try_decode_ppm(payload)
+        if ppm is not None:
+            w, h, px = ppm
+            lum = px.astype(np.float64).mean(axis=-1) / 255.0
+            hist, _ = np.histogram(lum, bins=12, range=(0.0, 1.0))
+            feat = np.concatenate([
+                px.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0,
+                [w / h],
+                hist.astype(np.float64) / lum.size,
+            ])
+            return w, h, hashlib.md5(payload).hexdigest(), feat
         if self.strict:
             raise NotImplementedError(
                 "real image/audio codecs are not available in this environment; "
@@ -236,6 +304,22 @@ class ResizeStub:
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
+            ppm = try_decode_ppm(payload)
+            if ppm is not None:
+                # REAL path: nearest-neighbor resample of actual pixels,
+                # re-encoded as a valid P6 stream
+                w, h, px = ppm
+                scale = self.max_side / max(w, h)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ys = (np.arange(nh) * h) // nh
+                xs = (np.arange(nw) * w) // nw
+                out = px[ys][:, xs]
+                rows["media_ref"].append(ref)
+                rows["kind"].append(kind)
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["payload"].append(encode_ppm(out))
+                continue
             if self.strict:
                 raise NotImplementedError(
                     "plug a real resampler in here (e.g. PIL Image.resize)"

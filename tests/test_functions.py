@@ -862,3 +862,74 @@ class TestGroupedTopkBruteForce:
         # ties must actually occur for the tie-break to be exercised
         dup = orders.duplicated(["o_custkey", "o_totalprice"], keep=False)
         assert dup.any()
+
+
+class TestPpmRealCodec:
+    def test_roundtrip_and_rejects_non_ppm(self):
+        from nmalign_ray.functions.media import encode_ppm, try_decode_ppm
+
+        px = (np.arange(6 * 4 * 3, dtype=np.uint8)).reshape(4, 6, 3)
+        w, h, got = try_decode_ppm(encode_ppm(px))
+        assert (w, h) == (6, 4)
+        assert np.array_equal(got, px)
+        for junk in (b"", b"P6", b"P6\nnot a dim line\n255\n",
+                     b"P6\n2 2\n255\nshort", "P6\ntext payload".encode()):
+            assert try_decode_ppm(junk) is None
+
+    def test_decode_features_are_real_pixel_statistics(self, ray_session):
+        from nmalign_ray.functions.media import (
+            decode_features,
+            synth_ppm_media_table,
+            try_decode_ppm,
+        )
+
+        tbl = synth_ppm_media_table(6)
+        out = decode_features(
+            ray_session.data.from_arrow(tbl)
+        ).to_pandas().set_index("media_ref")
+        for ref, payload in zip(tbl["media_ref"].to_pylist(),
+                                tbl["payload"].to_pylist()):
+            w, h, px = try_decode_ppm(payload)
+            row = out.loc[ref]
+            assert (row["width"], row["height"]) == (w, h)
+            feat = np.asarray(row["feature"])
+            assert len(feat) == 16
+            np.testing.assert_allclose(
+                feat[:3],
+                px.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0)
+            assert feat[3] == w / h
+            # histogram fractions over luminance sum to 1
+            np.testing.assert_allclose(feat[4:].sum(), 1.0)
+
+    def test_resize_emits_valid_ppm_with_nearest_neighbor_pixels(
+            self, ray_session):
+        from nmalign_ray.functions.media import (
+            resize_images,
+            synth_ppm_media_table,
+            try_decode_ppm,
+        )
+
+        tbl = synth_ppm_media_table(4)
+        out = resize_images(
+            ray_session.data.from_arrow(tbl), max_side=16
+        ).to_pandas().set_index("media_ref")
+        for ref, payload in zip(tbl["media_ref"].to_pylist(),
+                                tbl["payload"].to_pylist()):
+            w, h, px = try_decode_ppm(payload)
+            row = out.loc[ref]
+            nw, nh, rpx = try_decode_ppm(row["payload"])
+            assert (nw, nh) == (row["width"], row["height"])
+            assert max(nw, nh) <= 16
+            ys = (np.arange(nh) * h) // nh
+            xs = (np.arange(nw) * w) // nw
+            assert np.array_equal(rpx, px[ys][:, xs])
+
+    def test_strict_mode_decodes_ppm_but_raises_on_opaque_bytes(self):
+        from nmalign_ray.functions.media import DecodeStub, encode_ppm
+
+        stub = DecodeStub(strict=True)
+        px = np.zeros((3, 3, 3), dtype=np.uint8)
+        w, h, checksum, feat = stub._decode(encode_ppm(px), "image")
+        assert (w, h) == (3, 3)
+        with pytest.raises(NotImplementedError):
+            stub._decode(b"\x89PNG fake compressed bytes", "image")
