@@ -547,6 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are md5 arithmetic, so the driver sees exact SQL twins over the
         # SQL-comparable projection — binary payload columns stay in the
         # stage outputs and are covered by pytest) ---
+        "ppm_features": lambda sf: media.ppm_features(
+            _read(sf, "documents", ["doc_id"])
+        ),
         "media_features": lambda sf: _media_features_projection(
             media.decode_features(media.media_from_documents(
                 _read(sf, "documents", ["doc_id", "text"])))
@@ -603,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_events": relational.SLIDING_EVENTS_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
+        "ppm_features": media.PPM_FEATURES_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "nation_revenue",
         "inactive_customers",
         "normalize_docs",
+        "ppm_features",
         "media_features",
         "media_resize",
         "media_frames",

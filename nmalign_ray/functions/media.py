@@ -392,3 +392,98 @@ def sample_frames(media: ray.data.Dataset, frames_per_item: int = 4,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+def ppm_media_from_documents(docs, n: int = 16) -> "ray.data.Dataset":
+    """REAL PPM images derived deterministically from the documents
+    table: doc_id < n becomes a gradient image with
+    ``w = 8 + doc_id % 8``, ``h = 8 + doc_id % 5``, channels
+    ``R = x*255 // (w-1)``, ``G = y*255 // (h-1)``, ``B = x + y``
+    (always < 256 at these dims).  Pure integer arithmetic, so the
+    channel means the real decoder extracts have closed-form SQL twins
+    — the media pipeline's hash oracle runs through ACTUAL pixels, not
+    stub arithmetic."""
+    import pyarrow.compute as pc
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], n))
+        refs, kinds, payloads = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            w, h = 8 + d % 8, 8 + d % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(xx * 255 // (w - 1)).astype(np.uint8),
+                 (yy * 255 // (h - 1)).astype(np.uint8),
+                 (xx + yy).astype(np.uint8)],
+                axis=-1)
+            refs.append(f"media://ppm-doc/{d}")
+            kinds.append("image")
+            payloads.append(encode_ppm(px))
+        return pa.Table.from_pydict(
+            {"media_ref": refs, "kind": kinds, "payload": payloads},
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+# Closed-form twin of the REAL pixel statistics: the gradient images'
+# channel sums are integer expressions (generate_series for the
+# floor-division gradient, triangular numbers for B = x + y), and the
+# decoder's mean is one exact-int division then /255.0 — replicated
+# with the identical operation shape here.
+PPM_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, 'media://ppm-doc/' || doc_id AS media_ref,
+         8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 16
+),
+-- this DuckDB build rejects column-correlated generate_series bounds,
+-- so the gradient sums cross-join a CONSTANT series (0..max dim - 1)
+-- and filter to each image's actual width/height
+xs AS (
+  SELECT doc_id, sum((g.x * 255) // (w - 1)) AS sx
+  FROM m, generate_series(0, 14) g(x) WHERE g.x <= w - 1
+  GROUP BY doc_id
+),
+ys AS (
+  SELECT doc_id, sum((g.y * 255) // (h - 1)) AS sy
+  FROM m, generate_series(0, 11) g(y) WHERE g.y <= h - 1
+  GROUP BY doc_id
+),
+sums AS (
+  SELECT m.doc_id, media_ref, w, h,
+         h * sx AS s_r,
+         w * sy AS s_g,
+         h * (w * (w - 1)) // 2 + w * (h * (h - 1)) // 2 AS s_b
+  FROM m JOIN xs ON m.doc_id = xs.doc_id JOIN ys ON m.doc_id = ys.doc_id
+)
+SELECT media_ref,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       (CAST(s_r AS DOUBLE) / (w * h)) / 255.0 AS mean_r,
+       (CAST(s_g AS DOUBLE) / (w * h)) / 255.0 AS mean_g,
+       (CAST(s_b AS DOUBLE) / (w * h)) / 255.0 AS mean_b,
+       CAST(w AS DOUBLE) / h AS aspect
+FROM sums
+"""
+
+
+def ppm_features(docs) -> "ray.data.Dataset":
+    """Real-decode feature query: gradient PPMs from documents through
+    the actor-pool decode stage, projected to the SQL-comparable
+    channel statistics."""
+    feats = decode_features(ppm_media_from_documents(docs))
+
+    def project(batch: pa.Table) -> pa.Table:
+        f = batch["feature"].to_pylist()
+        return pa.Table.from_pydict({
+            "media_ref": batch["media_ref"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "mean_r": pa.array([v[0] for v in f], pa.float64()),
+            "mean_g": pa.array([v[1] for v in f], pa.float64()),
+            "mean_b": pa.array([v[2] for v in f], pa.float64()),
+            "aspect": pa.array([v[3] for v in f], pa.float64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
