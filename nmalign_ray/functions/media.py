@@ -209,7 +209,16 @@ class DecodeStub:
         self.strict = strict
 
     def _decode(self, payload: bytes, kind: str):
-        ppm = try_decode_ppm(payload)
+        # the declared kind gates the codec dispatch: a non-image payload
+        # that happens to carry a valid P6 header must NOT be silently
+        # decoded as pixels (round-3 advice).  In strict mode a
+        # contradiction between the declared kind and the sniffed format
+        # is an error, not a fallback.
+        ppm = try_decode_ppm(payload) if kind == "image" else None
+        if kind != "image" and self.strict and try_decode_ppm(payload) is not None:
+            raise ValueError(
+                f"payload sniffs as PPM/P6 but is declared kind={kind!r}"
+            )
         if ppm is not None:
             w, h, px = ppm
             lum = px.astype(np.float64).mean(axis=-1) / 255.0
@@ -304,7 +313,12 @@ class ResizeStub:
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
-            ppm = try_decode_ppm(payload)
+            ppm = try_decode_ppm(payload) if kind == "image" else None
+            if kind != "image" and self.strict \
+                    and try_decode_ppm(payload) is not None:
+                raise ValueError(
+                    f"payload sniffs as PPM/P6 but is declared kind={kind!r}"
+                )
             if ppm is not None:
                 # REAL path: nearest-neighbor resample of actual pixels,
                 # re-encoded as a valid P6 stream

@@ -681,29 +681,42 @@ FROM g
 
 
 def value_quantiles(events: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact per-user p50/p90 of the event value: one hash shuffle on the
-    key, in-group numpy sort + index selection (discrete quantiles —
-    selection, not interpolation, so no float arithmetic can diverge
-    from the SQL twin).  Per-group cost is O(n log n) in that user's
-    rows; global quantiles over a corpus-scale column would instead use
-    a distributed sketch, which is deliberately out of scope for the
-    hash-verified operator set."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy(dtype=np.float64))
-        n = len(v)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "n_events": np.array([n], dtype=np.int64),
-             "p50": [v[int(np.floor((n - 1) * 0.5))]],
-             "p90": [v[int(np.floor((n - 1) * 0.9))]]}
-        )
-
+    """Exact per-user p50/p90 of the event value: one hash shuffle on a
+    COARSE shard of the key (user_id % width — one Ray group per user
+    pays per-group dispatch at high key cardinality; see grouped_topk),
+    then an in-shard vectorized lexsort + segment index selection
+    (discrete quantiles — selection, not interpolation, so no float
+    arithmetic can diverge from the SQL twin)."""
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return events.groupby("user_id", num_partitions=max(32, cpus)).map_groups(
-        per_user, batch_format="pandas"
-    )
+    width = max(32, cpus * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        shard = pa.array(
+            batch["user_id"].to_numpy(zero_copy_only=False) % width,
+            pa.int64())
+        return pa.Table.from_arrays(
+            [batch["user_id"], batch["value"], shard],
+            ["user_id", "value", "shard"])
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((val, uid))
+        uid_s, val_s = uid[order], val[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(uid_s)) + 1])
+        n = np.diff(np.concatenate([starts, [len(uid_s)]]))
+        return pd.DataFrame(
+            {"user_id": uid_s[starts],
+             "n_events": n.astype(np.int64),
+             "p50": val_s[starts + np.floor((n - 1) * 0.5).astype(np.int64)],
+             "p90": val_s[starts + np.floor((n - 1) * 0.9).astype(np.int64)]}
+        )
+
+    return events.map_batches(tag, batch_format="pyarrow").groupby(
+        "shard", num_partitions=max(32, cpus)
+    ).map_groups(per_shard, batch_format="pandas")
 
 
 NATION_REVENUE_SQL = """
@@ -1062,6 +1075,15 @@ def key_skew(events: ray.data.Dataset, k: int = KEY_SKEW_K
             "skew": pa.array([], pa.float64())}))
     stats = parts[parts["is_stats"]]
     n_keys = int(stats["n_keys"].sum())
+    if n_keys == 0:  # schema-bearing but empty input: typed empty result,
+        # mirroring the column-less zero-block branch above
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "user_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "n_keys": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "max_cnt": pa.array([], pa.int64()),
+            "skew": pa.array([], pa.float64())}))
     n_rows = int(stats["n_rows"].sum())
     max_cnt = int(stats["max_cnt"].max())
     top = parts[~parts["is_stats"]].sort_values(

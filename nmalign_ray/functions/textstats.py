@@ -10,11 +10,38 @@ DuckDB twin (the ``*_SQL`` constants) used as the correctness oracle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+# Gate on driver-side collects of VOCABULARY-sized aggregates (top_terms,
+# tfidf df map, cms final cut) — same convention as LABEL_DRIVER_MAX /
+# MEMBER_BROADCAST_MAX elsewhere in the repo: fail loudly instead of
+# silently OOMing the driver on a pathological high-cardinality corpus.
+VOCAB_BROADCAST_MAX = int(
+    os.environ.get("GRAFT_VOCAB_BROADCAST_MAX", "5000000"))
+
+# int64 budget for gopher's packed 2-gram keys (doc_idx*vocab^2 + pair);
+# batches beyond it fall back to a structured unique (module-level so the
+# fallback branch is testable without a 2M-token batch)
+GOPHER_PACK_LIMIT = 2 ** 62
+
+
+def _vocab_pandas(agg: ray.data.Dataset, what: str):
+    """Bounded collect of a vocabulary-sized aggregate.  ``to_pandas``'s
+    ``limit`` raises (does not truncate) when exceeded — exactly the loud
+    failure the gate wants; this wrapper adds the remediation hint."""
+    try:
+        return agg.to_pandas(limit=VOCAB_BROADCAST_MAX)
+    except ValueError as e:
+        raise ValueError(
+            f"{what}: distinct-term aggregate exceeds VOCAB_BROADCAST_MAX="
+            f"{VOCAB_BROADCAST_MAX} rows; raise GRAFT_VOCAB_BROADCAST_MAX "
+            "or pre-prune the vocabulary (e.g. a min-count filter before "
+            "the collect)") from e
 
 # deterministic, tiny stoplists (parity with the SQL oracles matters, not
 # linguistic quality)
@@ -328,8 +355,8 @@ def top_terms(ds: ray.data.Dataset, k: int = TOP_TERMS_K) -> ray.data.Dataset:
         out["cnt"] = out["cnt"].astype(np.int64)
         return out.reset_index(drop=True)
 
-    # the aggregate is vocabulary-sized (tiny); one driver-side cut
-    return ray.data.from_pandas(cut(agg.to_pandas()))
+    # the aggregate is vocabulary-sized; one gated driver-side cut
+    return ray.data.from_pandas(cut(_vocab_pandas(agg, "top_terms")))
 
 
 # ---------------------------------------------------------------------------
@@ -401,9 +428,19 @@ def gopher_signals_batch(batch: pa.Table) -> pa.Table:
         # vocab**2 * ndocs far inside int64 (vocab <= tokens-per-batch)
         adj = doc_idx[1:] == doc_idx[:-1]
         if adj.any():
-            pair = codes[:-1][adj] * vocab + codes[1:][adj]
-            k2 = np.unique(doc_idx[:-1][adj] * (vocab * vocab) + pair)
-            n_distinct2 = np.bincount(k2 // (vocab * vocab), minlength=ndocs)
+            if ndocs * vocab * vocab < GOPHER_PACK_LIMIT:
+                pair = codes[:-1][adj] * vocab + codes[1:][adj]
+                k2 = np.unique(doc_idx[:-1][adj] * (vocab * vocab) + pair)
+                n_distinct2 = np.bincount(
+                    k2 // (vocab * vocab), minlength=ndocs)
+            else:
+                # packed-key budget would wrap int64 (a >2M-distinct-token
+                # batch); structured unique over (doc, c1, c2) triples is
+                # slower but exact — same guard convention as _chunk_rows
+                tri = np.stack([doc_idx[:-1][adj], codes[:-1][adj],
+                                codes[1:][adj]], axis=1)
+                uniq_docs = np.unique(tri, axis=0)[:, 0]
+                n_distinct2 = np.bincount(uniq_docs, minlength=ndocs)
     dup_token_frac = round6(
         np.where(n_tokens > 0, 1.0 - n_distinct / np.maximum(n_tokens, 1), 0.0)
     )
@@ -654,6 +691,11 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = TFIDF_TOP_K
                 n_docs += int(dfv)
             else:
                 df_map[term] = int(dfv)
+        if len(df_map) > VOCAB_BROADCAST_MAX:
+            raise ValueError(
+                "tfidf_top_terms: document-frequency map exceeds "
+                f"VOCAB_BROADCAST_MAX={VOCAB_BROADCAST_MAX} terms; raise "
+                "GRAFT_VOCAB_BROADCAST_MAX or pre-prune the vocabulary")
     df_ref = ray.put(df_map)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1168,7 +1210,8 @@ def cms_heavy_hitters(ds: ray.data.Dataset, depth: int = CMS_DEPTH,
              "exact_cnt": top["cnt"].to_numpy(dtype=np.int64),
              "cms_estimate": np.asarray(est, dtype=np.int64)})
 
-    return ray.data.from_pandas(cut(vocab.to_pandas()))
+    return ray.data.from_pandas(
+        cut(_vocab_pandas(vocab, "cms_heavy_hitters")))
 
 
 # ---------------------------------------------------------------------------

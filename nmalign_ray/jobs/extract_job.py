@@ -10,7 +10,7 @@
       "cutoff": 0.0,
       "allow_splits": true,
       "salt_threshold": 256,
-      "num_partitions": 32,
+      "num_partitions": 32,                # omit = auto max(32, cluster CPUs)
       "refs": "/data/refs",               # two-table form: join on doc_id
       "missing_input": "skip",            # or "abort" (reference
                                           #  OCRD_MISSING_INPUT semantics)
@@ -46,7 +46,7 @@ def config_from_json(doc: dict) -> EngineConfig:
     return EngineConfig(
         align=align,
         salt_threshold=doc.get("salt_threshold", 256),
-        num_partitions=doc.get("num_partitions", 32),
+        num_partitions=doc.get("num_partitions"),
     )
 
 
@@ -81,7 +81,7 @@ def main(argv=None) -> int:
         refs_path = args.refs or doc.get("refs")
         if refs_path:
             ds = join_refs(ds, ray.data.read_parquet(refs_path),
-                           num_partitions=cfg.num_partitions,
+                           num_partitions=cfg.resolved_partitions(),
                            missing=doc.get("missing_input", "skip"),
                            on_duplicate=doc.get("on_duplicate", "raise"))
         summary = run_checkpointed(ds, args.output, cfg)

@@ -45,6 +45,34 @@ def doc_partition(doc_id: str, num_partitions: int) -> int:
     return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
 
 
+def resolve_num_partitions(out_dir: str, cfg: EngineConfig) -> int:
+    """Resolve the partition count for a checkpointed job and PIN it.
+
+    ``pid = crc32(doc_id) % P`` means P must be identical across a crash
+    and its resume or the completed-partition filter skips the wrong
+    documents — so the first run writes ``_manifest/meta.json`` and every
+    later run (any cpu count) reads P back from it.  An explicit config
+    value that CONTRADICTS a pinned manifest is an error, not a silent
+    re-partitioning."""
+    meta_path = os.path.join(out_dir, "_manifest", "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            pinned = int(json.load(f)["num_partitions"])
+        if cfg.num_partitions is not None and cfg.num_partitions != pinned:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with num_partitions="
+                f"{pinned}; config asks for {cfg.num_partitions} — resume "
+                "must keep the original partitioning")
+        return pinned
+    num = cfg.resolved_partitions()
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_partitions": num}, f)
+    os.replace(tmp, meta_path)
+    return num
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "_manifest")
     if not os.path.isdir(mdir):
@@ -138,10 +166,11 @@ def run_checkpointed(
     summary.  Safe to re-invoke after a crash: completed partitions are
     skipped before the heavy stages."""
     cfg = config if config is not None else EngineConfig()
+    num_partitions = resolve_num_partitions(out_dir, cfg)
     done = frozenset(completed_partitions(out_dir))
 
     ds = corpus.map_batches(
-        partial(_filter_completed, done=done, num_partitions=cfg.num_partitions),
+        partial(_filter_completed, done=done, num_partitions=num_partitions),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
@@ -158,7 +187,7 @@ def run_checkpointed(
         concurrency=resolve_concurrency(cfg),
         num_cpus=1,
     ).map_batches(
-        partial(_add_pid, num_partitions=cfg.num_partitions),
+        partial(_add_pid, num_partitions=num_partitions),
         batch_format="pyarrow",
     )
     # NOTE: no repartition before the groupby — the round-2 coalesce
@@ -167,7 +196,7 @@ def run_checkpointed(
     # (A/B measured 16.2/18.8 s with vs 15.3/17.4 s without at 30k docs)
     # and the groupby's own num_partitions bounds the shuffle width.
     summary = (
-        aligned.groupby("pid", num_partitions=cfg.num_partitions)
+        aligned.groupby("pid", num_partitions=num_partitions)
         .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")
         .to_pandas()
     )

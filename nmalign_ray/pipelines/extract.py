@@ -88,8 +88,9 @@ def build_extract_pipeline(
     # and bound the shuffle width: the sort-based groupby's scheduling
     # overhead scales with block count, not bytes (measured 43s -> 26s at
     # 30k docs from the coalesce alone)
-    aligned = aligned.repartition(cfg.num_partitions)
-    return aligned.groupby("doc_id", num_partitions=cfg.num_partitions).map_groups(
+    num_partitions = cfg.resolved_partitions()
+    aligned = aligned.repartition(num_partitions)
+    return aligned.groupby("doc_id", num_partitions=num_partitions).map_groups(
         reassemble_group, batch_format="pyarrow"
     )
 

@@ -101,5 +101,22 @@ class EngineConfig:
     # stateless-stage batch size
     extract_batch_size: int = 64
     # output partitioning AND reassembly-shuffle width:
-    # partition_id = crc32(doc_id) % num_partitions
-    num_partitions: int = 32
+    # partition_id = crc32(doc_id) % num_partitions.
+    # None (the default) = derive from the cluster at run time,
+    # max(32, CPUs) — a fixed 32 starves the sink at 4N nodes (round-3
+    # verdict item 6).  The checkpointed sink PINS the resolved value in
+    # its manifest so a resume at a different cpu count keeps the
+    # original partitioning (crc32 % P must not change mid-job).
+    num_partitions: int | None = None
+
+    def resolved_partitions(self) -> int:
+        if self.num_partitions is not None:
+            return self.num_partitions
+        cpus = 8
+        try:
+            import ray
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            pass
+        return max(32, cpus)

@@ -18,8 +18,16 @@ The reference's ``textLineOrder=bottom-to-top`` reversal
 (``lines = list(reversed(lines))``,
 ``/root/reference/nmalign/ocrd/cli.py:390-393``) maps to the explicit
 ``bottom_to_top`` rollup option: span order is reversed per document
-before joining.  Character-level RIGHTTOLEFT glyph reversal stays out
-of model — spans carry whole text strings, not glyph sequences.
+before joining.
+
+The reference's ``readingDirection=RIGHTTOLEFT`` handling
+(``/root/reference/nmalign/ocrd/cli.py:396-410``) reverses the WORD
+order within a line (words re-joined by ``' '``) and the GLYPH order
+within each word (glyphs re-joined by ``''``); a page-level RTL flag
+triggers both.  The columnar counterpart is the ``rtl`` rollup option:
+each text span's words are reversed and each word's characters are
+reversed (media placeholder fragments are references, not text, and
+pass through unreversed).
 """
 
 from __future__ import annotations
@@ -40,7 +48,8 @@ ROLLUP_SCHEMA = pa.schema(
 JOIN_SUFFIX = "+join"
 
 
-def rollup_spans(spans: list[dict], bottom_to_top: bool = False) -> str:
+def rollup_spans(spans: list[dict], bottom_to_top: bool = False,
+                 rtl: bool = False) -> str:
     parts = []
     if bottom_to_top:
         spans = list(reversed(spans))
@@ -51,6 +60,12 @@ def rollup_spans(spans: list[dict], bottom_to_top: bool = False) -> str:
             frag = f"[{kind.removesuffix(JOIN_SUFFIX)}:{s['media_ref']}]"
         elif s["text"]:
             frag = s["text"]
+            if rtl:
+                # page-level RIGHTTOLEFT: reversed word order within the
+                # line AND reversed glyph order within each word —
+                # ' '.split is the faithful inverse of the reference's
+                # ' '.join over words (ocrd/cli.py:396-418)
+                frag = " ".join(w[::-1] for w in reversed(frag.split(" ")))
         else:
             continue
         if joined and parts:
@@ -60,7 +75,8 @@ def rollup_spans(spans: list[dict], bottom_to_top: bool = False) -> str:
     return "\n".join(parts)
 
 
-def rollup_batch(batch: pa.Table, bottom_to_top: bool = False) -> pa.Table:
+def rollup_batch(batch: pa.Table, bottom_to_top: bool = False,
+                 rtl: bool = False) -> pa.Table:
     rows = {"doc_id": [], "text": [], "n_spans": [], "mean_score": []}
     for did, spans, score in zip(
         batch["doc_id"].to_pylist(),
@@ -68,20 +84,23 @@ def rollup_batch(batch: pa.Table, bottom_to_top: bool = False) -> pa.Table:
         batch["mean_score"].to_pylist(),
     ):
         rows["doc_id"].append(did)
-        rows["text"].append(rollup_spans(spans or [], bottom_to_top))
+        rows["text"].append(rollup_spans(spans or [], bottom_to_top, rtl))
         rows["n_spans"].append(len(spans or []))
         rows["mean_score"].append(score)
     return pa.Table.from_pydict(rows, schema=ROLLUP_SCHEMA)
 
 
-def rollup_documents(out_ds, bottom_to_top: bool = False):
+def rollup_documents(out_ds, bottom_to_top: bool = False,
+                     rtl: bool = False):
     """OUTPUT_SCHEMA dataset -> one text row per document.
 
     ``bottom_to_top=True`` reverses each document's span order before
     joining — the columnar counterpart of the reference's
-    ``textLineOrder=bottom-to-top`` traversal."""
+    ``textLineOrder=bottom-to-top`` traversal.  ``rtl=True`` reverses
+    word order within each text span and glyph order within each word —
+    the page-level ``readingDirection=RIGHTTOLEFT`` semantics."""
     from functools import partial
 
     return out_ds.map_batches(
-        partial(rollup_batch, bottom_to_top=bottom_to_top),
+        partial(rollup_batch, bottom_to_top=bottom_to_top, rtl=rtl),
         batch_format="pyarrow")

@@ -80,6 +80,49 @@ class TestCheckpointedSink:
         assert completed_partitions(out) == set(range(config.num_partitions))
         assert spans_key(read_output(out)) == full
 
+    def test_partition_count_pinned_across_cluster_sizes(
+        self, ray_session, corpus, tmp_path
+    ):
+        # auto num_partitions (None) resolves from the cluster on the
+        # FIRST run and is pinned in the manifest: a resume on a cluster
+        # of any other size must keep crc32(doc_id) % P intact
+        from nmalign_ray.pipelines.checkpoint import resolve_num_partitions
+        from nmalign_ray.schema import EngineConfig as EC
+
+        out = str(tmp_path / "pin")
+        auto = EC(num_partitions=None)
+        first = resolve_num_partitions(out, auto)
+        assert first == auto.resolved_partitions() >= 32
+        # simulate resuming on a 4x cluster: the auto value WOULD differ,
+        # but the pinned manifest wins
+        assert resolve_num_partitions(out, auto) == first
+        pinned = json.load(open(os.path.join(out, "_manifest", "meta.json")))
+        assert pinned["num_partitions"] == first
+        # an explicit conflicting config is an error, not silent re-keying
+        with pytest.raises(ValueError, match="must keep the original"):
+            resolve_num_partitions(out, EC(num_partitions=first + 1))
+        # an explicit MATCHING config is fine
+        assert resolve_num_partitions(
+            out, EC(num_partitions=first)) == first
+
+    def test_resume_with_auto_partitions(self, ray_session, corpus, tmp_path):
+        # e2e: auto-partitioned run, torn partition, resume repairs it and
+        # the output matches the uninterrupted run (the filter reads the
+        # pinned P, not a re-derived one)
+        cfg = EngineConfig(salt_threshold=64, num_partitions=None,
+                           align_batch_size=8, align_concurrency=2)
+        out = str(tmp_path / "auto")
+        ds = ray_session.data.from_arrow(corpus)
+        run_checkpointed(ds, out, cfg)
+        full = spans_key(read_output(out))
+        victims = sorted(completed_partitions(out))[:2]
+        for pid in victims:
+            shutil.rmtree(os.path.join(out, f"part={pid}"))
+            os.remove(os.path.join(out, "_manifest", f"part-{pid}.json"))
+        summary = run_checkpointed(ds, out, cfg)
+        assert summary["partitions_written"] == len(victims)
+        assert spans_key(read_output(out)) == full
+
     def test_noop_when_all_complete(self, ray_session, corpus, config, tmp_path):
         out = str(tmp_path / "out4")
         ds = ray_session.data.from_arrow(corpus)

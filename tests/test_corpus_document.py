@@ -205,6 +205,31 @@ class TestRollup:
             "oberstemittlere\nunterste zeile"
         )
 
+    def test_rollup_rtl_reverses_words_and_glyphs(self):
+        # page-level readingDirection=RIGHTTOLEFT (ocrd/cli.py:396-418):
+        # word order within the line reversed AND glyph order within
+        # each word reversed; media placeholder fragments pass through
+        from nmalign_ray.stages.rollup import rollup_spans
+
+        spans = [
+            {"kind": "text", "text": "abc def gh", "media_ref": "",
+             "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "media://x/1",
+             "offset": 1},
+        ]
+        assert rollup_spans(spans, rtl=True) == (
+            "hg fed cba\n[image:media://x/1]"
+        )
+        # composes with bottom_to_top (both reversals are per-span /
+        # per-document independent)
+        spans2 = [
+            {"kind": "text", "text": "ab cd", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "ef", "media_ref": "", "offset": 1},
+        ]
+        assert rollup_spans(spans2, bottom_to_top=True, rtl=True) == (
+            "fe\ndc ba"
+        )
+
     def test_rollup_batch_schema(self):
         from nmalign_ray.stages.rollup import ROLLUP_SCHEMA, rollup_batch
         from nmalign_ray.document import oracle_table

@@ -141,6 +141,28 @@ class TestMediaPlumbing:
         with pytest.raises(NotImplementedError):
             stub._decode(b"bytes", "image")
 
+    def test_kind_gates_the_ppm_sniff(self):
+        # a non-image payload carrying a valid P6 header must not be
+        # silently pixel-decoded (round-3 advice): lenient mode takes the
+        # deterministic-fake path, strict mode flags the contradiction
+        import hashlib
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        payload = media.encode_ppm(px)
+        w, h, checksum, _ = media.DecodeStub()._decode(payload, "audio")
+        digest = hashlib.md5(payload).digest()
+        assert (w, h) == (16 + digest[0], 16 + digest[1])  # fake path
+        with pytest.raises(ValueError, match="declared kind"):
+            media.DecodeStub(strict=True)._decode(payload, "audio")
+        # resize: same gate
+        batch = pa.Table.from_pydict(
+            {"media_ref": ["m"], "kind": ["audio"], "payload": [payload]},
+            schema=media.MEDIA_SCHEMA)
+        out = media.ResizeStub(max_side=8)(batch)
+        assert out["payload"][0].as_py() != media.encode_ppm(px[:1, :1])
+        with pytest.raises(ValueError, match="declared kind"):
+            media.ResizeStub(max_side=8, strict=True)(batch)
+
 
 class TestMediaResizeAndFrames:
     def test_resize_bounds_dimensions(self, ray_session):
@@ -488,6 +510,18 @@ class TestGopherSignals:
         assert out.loc[1, "dup_2gram_frac"] == 0.0
         assert out.loc[2, "n_tokens"] == 0
 
+    def test_structured_fallback_matches_packed_path(self, monkeypatch):
+        # the int64 packed-key guard's fallback must be value-identical
+        # to the fast path (round-3 advice: silent wrap beyond ~2.1M
+        # distinct tokens per batch)
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = docs_table(["a a a a", "a b c d", "x y x y x", "", "q"])
+        fast = ts.gopher_signals_batch(tbl)
+        monkeypatch.setattr(ts, "GOPHER_PACK_LIMIT", 0)
+        slow = ts.gopher_signals_batch(tbl)
+        assert fast.equals(slow)
+
 
 class TestGroupSample:
     def test_k_per_group_and_batch_invariant(self, ray_session):
@@ -748,6 +782,35 @@ class TestKeySkew:
         assert out.iloc[0]["skew"] == 40 / (60 / 21.0)
         # ties broken by smaller key id
         assert list(out["user_id"][1:]) == [100, 101]
+
+    def test_empty_input_returns_typed_empty(self, ray_session):
+        # a schema-bearing but zero-row events table must not divide by
+        # zero keys (round-3 advice)
+        from nmalign_ray.functions import relational as rel
+
+        tbl = pa.Table.from_pydict({"user_id": pa.array([], pa.int64())})
+        out = rel.key_skew(ray_session.data.from_arrow(tbl), k=3).to_pandas()
+        assert len(out) == 0
+
+
+class TestVocabBroadcastGate:
+    def test_top_terms_gate_raises_loudly(self, ray_session, monkeypatch):
+        from nmalign_ray.functions import textstats as ts
+
+        ds = ray_session.data.from_arrow(docs_table(
+            ["alpha beta gamma delta", "epsilon zeta eta theta"]))
+        monkeypatch.setattr(ts, "VOCAB_BROADCAST_MAX", 3)
+        with pytest.raises(ValueError, match="VOCAB_BROADCAST_MAX"):
+            ts.top_terms(ds).to_pandas()
+
+    def test_tfidf_gate_raises_loudly(self, ray_session, monkeypatch):
+        from nmalign_ray.functions import textstats as ts
+
+        ds = ray_session.data.from_arrow(docs_table(
+            ["alpha beta gamma delta", "epsilon zeta eta theta"]))
+        monkeypatch.setattr(ts, "VOCAB_BROADCAST_MAX", 3)
+        with pytest.raises(ValueError, match="VOCAB_BROADCAST_MAX"):
+            ts.tfidf_top_terms(ds).to_pandas()
 
 
 class TestSoftSample:
