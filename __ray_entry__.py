@@ -12,9 +12,12 @@ calls ``ray.init`` / ``ray.shutdown``.
 
 The interleaved corpus required by the alignment queries does not exist
 in the test data, so it is DERIVED deterministically from the
-``documents`` table (sentence segmentation -> per-family corruption,
-seeded per doc_id — see ``nmalign_ray.corpus.corpus_from_documents``)
-and cached as parquet under /tmp per scale factor.
+``documents`` table (word-chunk segmentation -> per-family corruption,
+keyed on doc_id, rng-free — see
+``nmalign_ray.corpus.corpus_from_documents`` and
+``DETERMINISTIC_FAMILIES``) and cached as parquet under /tmp per scale
+factor.  Every corruption channel has a closed SQL form, so even the
+full-mix flagship ``extract_align`` is hash-verifiable end to end.
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ if _REPO_DIR not in sys.path:
 
 # bump _GEN_VERSION whenever corpus derivation changes — it keys the /tmp
 # cache so stale corpora from older code can never leak into a run
-_GEN_VERSION = "v1"
+# (v2: default mix switched to the rng-free DETERMINISTIC_FAMILIES)
+_GEN_VERSION = "v2"
 _CACHE_ROOT = f"/tmp/nmalign_ray_cache/{_GEN_VERSION}"
 
 
@@ -65,11 +69,12 @@ def derived_corpus(sf_dir: str, families=None):
     collide; the rename is atomic either way."""
     import ray.data
 
-    from nmalign_ray.corpus import FAMILIES, corpus_from_documents
+    from nmalign_ray.corpus import DETERMINISTIC_FAMILIES, corpus_from_documents
 
-    fams = tuple(families) if families else FAMILIES
+    fams = tuple(families) if families else DETERMINISTIC_FAMILIES
     tag = os.path.basename(os.path.normpath(sf_dir))
-    fam_tag = "corpus" if fams == FAMILIES else "corpus-" + "-".join(fams)
+    fam_tag = ("corpus" if fams == DETERMINISTIC_FAMILIES
+               else "corpus-" + "-".join(fams))
     cache = os.path.join(_CACHE_ROOT, tag, fam_tag)
     marker = os.path.join(cache, "_SUCCESS")
     if not os.path.exists(marker):
@@ -569,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
     from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
 
     return {
+        "extract_align": EXTRACT_ALIGN_SQL,
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
         "extract_align_glyph": EXTRACT_ALIGN_GLYPH_SQL,
         "extract_align_ocr": EXTRACT_ALIGN_OCR_SQL,
@@ -938,6 +944,68 @@ SELECT doc_id, "order",
 FROM x
 WHERE NOT (key % 5 = 4 AND len({_GLYPH_REPLACE}) < 10)
 """
+
+# THE FLAGSHIP ORACLE: the default derived corpus is the rng-free
+# DETERMINISTIC_FAMILIES mix (corpus.py), family = doc_id % 10 over
+# (identity, glyph, ocr, dmerged, dhtml, dpdf, dpermuted, dmedia,
+# dshort, dempty).  Expected output per family:
+#   0 identity   — the segment verbatim;
+#   1 glyph      — nested historical-glyph replace;
+#   2 ocr        — nested confusable replace ('n'->'u' first);
+#   3 dmerged    — the subseg split path: replace(seg, ' ', '_');
+#   4 dhtml      — glyph replace, kind 'html', < MIN_BLOCK_CHARS dropped;
+#   5 dpdf       — glyph replace, kind 'pdf' (wrap reversal exact);
+#   6 dpermuted  — glyph replace (the two longest candidates are swapped
+#                  in the INPUT; the assignment resolves the crossing, so
+#                  the output per ref chunk is swap-independent);
+#   7 dmedia     — glyph replace + ONE media marker row per document
+#                  (kind 'image', empty text, order = segment count);
+#   8 dshort     — glyph replace (the extra counterpart-less short ref
+#                  stays unmatched and is omitted, reference O6);
+#   9 dempty     — glyph replace (the whitespace-only input span is
+#                  dropped by the empty-line filter, reference O4).
+EXTRACT_ALIGN_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS key,
+         'doc-' || doc_id AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE trim(text) <> ''
+),
+segs AS (
+  SELECT key, doc_id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in generate_series(1, len(toks), 8)] AS seglist
+  FROM d
+),
+x AS (
+  SELECT key, doc_id,
+         CAST(generate_subscripts(seglist, 1) - 1 AS INTEGER) AS "order",
+         unnest(seglist) AS seg
+  FROM segs
+)
+SELECT doc_id, "order",
+       CASE WHEN key % 10 = 4 THEN 'html'
+            WHEN key % 10 = 5 THEN 'pdf'
+            ELSE 'text' END AS kind,
+       CASE key % 10
+         WHEN 0 THEN seg
+         WHEN 2 THEN {{OCR}}
+         WHEN 3 THEN replace(seg, ' ', '_')
+         ELSE {{GLYPH}}
+       END AS text,
+       '' AS media_ref
+FROM x
+WHERE NOT (key % 10 = 4 AND len({{GLYPH}}) < 10)
+UNION ALL
+SELECT doc_id,
+       CAST(len(seglist) AS INTEGER) AS "order",
+       'image' AS kind,
+       '' AS text,
+       'media://doc-' || key || '/0' AS media_ref
+FROM segs
+WHERE key % 10 = 7
+""".replace("{GLYPH}", _GLYPH_REPLACE).replace("{OCR}", _OCR_REPLACE)
 
 # identity+glyph metrics: every segment matches 1:1 at exactly 1.0, so
 # the metric columns are functions of the word count alone
