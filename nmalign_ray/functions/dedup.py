@@ -293,12 +293,24 @@ sh AS (
                  for i in generate_series(1, len(toks) - 2)] END) AS shingles
   FROM docs
 ),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+cand AS (
+  -- shared-shingle candidate join: J >= threshold > 0 implies a nonempty
+  -- intersection, so restricting the exact check to co-shingled pairs is
+  -- lossless and replaces the quadratic all-pairs list_intersect scan
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 j AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles)) AS uni
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles)) AS uni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
 FROM j
@@ -310,10 +322,77 @@ WHERE inter / CAST(uni AS DOUBLE) >= 0.6
 # broadcast (ray.put once, read per map task) and the corpus is filtered
 # MAP-SIDE before the shingle-attach shuffle, so that shuffle carries
 # only candidate docs' text — proportional to candidates, not to the
-# corpus (round-2 verdict item 4).  Above the gate (pathological
-# candidate volume) the prefilter is skipped and the full co-group path
-# runs — still linear, zero driver state, just the round-2 cost model.
+# corpus (round-2 verdict item 4).  Above the gate the EXACT set no
+# longer fits a single broadcast object, so the prefilter degrades to a
+# fixed-size Bloom bitset built distributed (round-3 verdict item 5):
+# false positives merely ride the shuffle and are dropped at
+# attach_shingles (the pre-round-3 behavior, now limited to ~0.3% of
+# the corpus instead of all of it); Bloom filters have no false
+# negatives, so the verified-pair output is identical either way.
 MEMBER_BROADCAST_MAX = 1_000_000
+
+_BLOOM_K = 4  # double-hash probes per id; with 16 bits/id FP ~= 0.3%
+
+
+def _bloom_positions(doc_id, nbits: int):
+    """The _BLOOM_K bit positions of one member id: md5 double hashing on
+    str(doc_id), (h1 + i*h2) % nbits — python ints, no uint64 wrap."""
+    dig = hashlib.md5(str(doc_id).encode("utf-8")).digest()
+    h1 = int.from_bytes(dig[:8], "big")
+    h2 = int.from_bytes(dig[8:16], "big")
+    return [(h1 + i * h2) % nbits for i in range(_BLOOM_K)]
+
+
+def _member_bloom(pairs: ray.data.Dataset, n_member_rows: int):
+    """Build the member-id Bloom bitset DISTRIBUTED and return
+    ``(bits_object_ref, nbits)``.
+
+    Scale shape: each pairs block emits its members' bit positions
+    (skinny uint64 rows — candidate-proportional, never corpus-sized);
+    positions shuffle on their contiguous bitset slice; each slice task
+    ORs its positions into a dense ``slice_bits/8``-byte buffer; the
+    driver concatenates the (bounded, width-many) slices into the one
+    fixed-size bitset it was always going to hold for the broadcast."""
+    import math
+
+    nbits = 1 << max(20, math.ceil(math.log2(max(n_member_rows, 2) * 16)))
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = 1 << max(5, math.ceil(math.log2(max(cpus, 2))))  # pow2 >= 32
+    slice_bits = nbits // width  # both pow2 -> exact division
+
+    def positions(batch: pa.Table) -> pa.Table:
+        pos: set = set()
+        for col in ("doc_a", "doc_b"):
+            for d in batch[col].to_pylist():
+                pos.update(_bloom_positions(d, nbits))
+        p = np.fromiter(pos, dtype=np.uint64, count=len(pos))
+        return pa.Table.from_pydict(
+            {"pos": pa.array(p, pa.uint64()),
+             "slice": pa.array((p // slice_bits).astype(np.int64),
+                               pa.int64())})
+
+    def or_slice(group: pa.Table) -> pa.Table:
+        sl = int(group["slice"][0].as_py())
+        p = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            - sl * slice_bits
+        buf = np.zeros(slice_bits // 8, np.uint8)
+        np.bitwise_or.at(
+            buf, p // 8, np.left_shift(1, p % 8).astype(np.uint8))
+        return pa.Table.from_pydict(
+            {"slice": pa.array([sl], pa.int64()),
+             "bits": pa.array([buf.tobytes()], pa.binary())})
+
+    parts = pairs.map_batches(positions, batch_format="pyarrow").groupby(
+        "slice", num_partitions=width
+    ).map_groups(or_slice, batch_format="pyarrow")
+    bitset = bytearray(nbits // 8)
+    step = slice_bits // 8
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for sl, bits in zip(b["slice"].to_pylist(), b["bits"].to_pylist()):
+            bitset[sl * step:(sl + 1) * step] = bits
+    return ray.put(bytes(bitset)), nbits
 
 
 def minhash_near_dups(
@@ -331,10 +410,11 @@ def minhash_near_dups(
     pair key brings the two shingle lists together for the exact-Jaccard
     check.  Cost model: when the candidate MEMBER id set fits under
     ``member_broadcast_max`` (the common sparse case) it is broadcast
-    once and non-member docs are dropped map-side, so BOTH shuffles are
-    proportional to the candidate set; above the gate the whole corpus
-    text rides the first co-group once — linear, zero driver state, the
-    same price exact_dedup pays."""
+    once and non-member docs are dropped map-side; above the gate a
+    fixed-size Bloom bitset (built distributed, no unbounded driver
+    state) takes the exact set's place — so BOTH shuffles are
+    proportional to the candidate set at EVERY scale, with only a ~0.3%
+    false-positive rider above the gate."""
     pairs = minhash_candidate_pairs(ds, on_truncate=on_truncate).materialize()
     if pairs.count() == 0:
         # typed empty result (the lazy pipeline would otherwise yield a
@@ -375,8 +455,8 @@ def minhash_near_dups(
     # semi-join prefilter: pair-member count is 2 x pair count (already
     # materialized + counted above); under the gate, collect the DISTINCT
     # member ids (bounded by the gate, not the corpus) and broadcast them
-    corpus_side = ds
-    if 2 * pairs.count() <= member_broadcast_max:
+    n_member_rows = 2 * pairs.count()
+    if n_member_rows <= member_broadcast_max:
         members: set = set()
         for b in pairs.iter_batches(batch_format="pyarrow"):
             members.update(b["doc_a"].to_pylist())
@@ -392,6 +472,26 @@ def minhash_near_dups(
             return batch.filter(keep)
 
         corpus_side = ds.map_batches(keep_members, batch_format="pyarrow")
+    else:
+        # above the gate: distributed Bloom semi-join — the shuffle stays
+        # candidate-proportional (+~0.3% FP riders) at every scale, and
+        # the driver holds only the fixed-size bitset (round-3 item 5).
+        # No false negatives, so the output is identical to the exact
+        # prefilter; FP docs reach attach_shingles with zero memberships
+        # and are dropped there, exactly like the old full-co-group path.
+        bits_ref, nbits = _member_bloom(pairs, n_member_rows)
+
+        def keep_bloom(batch: pa.Table) -> pa.Table:
+            bs = ray.get(bits_ref)
+            keep = pa.array(
+                [all(bs[p >> 3] & (1 << (p & 7))
+                     for p in _bloom_positions(d, nbits))
+                 for d in batch["doc_id"].to_pylist()],
+                type=pa.bool_(),
+            )
+            return batch.filter(keep)
+
+        corpus_side = ds.map_batches(keep_bloom, batch_format="pyarrow")
 
     tagged = pairs.map_batches(pair_sides, batch_format="pyarrow").union(
         corpus_side.map_batches(doc_rows, batch_format="pyarrow")
@@ -701,12 +801,24 @@ sh AS (
                  for i in generate_series(1, len(toks) - 2)] END) AS shingles
   FROM docs
 ),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+cand AS (
+  -- shared-shingle candidate join: J >= threshold > 0 implies a nonempty
+  -- intersection, so restricting the exact check to co-shingled pairs is
+  -- lossless and replaces the quadratic all-pairs list_intersect scan
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 j AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles)) AS uni
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles)) AS uni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
 ),
 pairs AS (
   SELECT doc_a, doc_b FROM j WHERE inter / CAST(uni AS DOUBLE) >= 0.6

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: decode / feature-extract / resize stages.
 
 Treats image/audio payloads as typed ``binary`` columns processed by
-actor-pool ``map_batches`` stages.  The decode seam is REAL for
-uncompressed PPM (P6) images — a pure-numpy parser/encoder, no codec
-library needed — so dimension extraction, channel/luminance features,
-and nearest-neighbor resize operate on actual pixels for that format.
-Compressed formats (JPEG/PNG/audio/video) remain behind the clearly
-marked seam: no codec libraries exist in this container, so non-PPM
-payloads get a deterministic fake decode (shape + checksum derived from
-the bytes) and ``strict`` mode raises ``NotImplementedError`` where
-PIL / soundfile / av would plug in.
+actor-pool ``map_batches`` stages.  The decode seam is REAL for two
+image formats: uncompressed PPM (P6) — a pure-numpy parser/encoder —
+and compressed PNG — a stdlib-only decoder (zlib inflate + IHDR/IDAT
+chunk walk + scanline unfilter) covering 8-bit gray/RGB/RGBA,
+non-interlaced, all five filters.  Dimension extraction,
+channel/luminance features, and nearest-neighbor resize operate on
+actual pixels for both.  Formats needing codec libraries this container
+lacks (JPEG/audio/video) remain behind the clearly marked seam:
+deterministic fake decode (shape + checksum derived from the bytes) and
+``strict`` mode raising ``NotImplementedError`` where PIL / soundfile /
+av would plug in.
 
 Sizing note (SURVEY §4.2 / guide): binary payload rows are FAT — this
 stage must run with a SMALL ``batch_size`` (default 16) and row-based
@@ -19,6 +21,8 @@ batching so one batch x pool concurrency stays inside a worker heap.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -169,6 +173,130 @@ def try_decode_ppm(payload: bytes):
     return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# PNG codec — REAL, stdlib-only (zlib inflate + struct): the one
+# compressed image format this environment does not force behind the
+# strict seam (round-3 verdict item 4).  Supports the non-interlaced
+# 8-bit color types (gray 0, RGB 2, RGBA 6) and all five scanline
+# filters; everything else returns None and falls through to the
+# documented strict/stub seam like any other foreign payload.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a minimal valid PNG
+    (8-bit RGB, filter 0 scanlines, one IDAT)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def try_decode_png(payload: bytes):
+    """Pure stdlib PNG decoder: ``(w, h, rgb_pixels)`` or None.
+
+    IHDR -> IDAT concat -> zlib inflate -> per-scanline unfilter
+    (None/Sub/Up/Average/Paeth).  Gray expands to RGB; RGBA drops alpha
+    (features are channel statistics, not compositing).  Sub and Up are
+    vectorized (uint8 accumulate wraps mod 256 by construction); Average
+    and Paeth keep the spec's sequential per-byte recurrence — they are
+    decode-seam code, not a shuffle hot path."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    try:
+        while pos + 8 <= len(payload):
+            (length,), tag = _struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + length]
+            if len(body) != length:
+                return None
+            if tag == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if (depth != 8 or ctype not in (0, 2, 6) or comp != 0
+                or filt != 0 or interlace != 0 or w <= 0 or h <= 0):
+            return None
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        raw = zlib.decompress(b"".join(idat))
+    except (zlib.error, _struct.error):
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, data = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        row = data[y].copy()
+        ft = int(ftypes[y])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: per-channel-lane prefix sum, mod 256 via uint8
+            for b in range(nch):
+                np.add.accumulate(row[b::nch], out=row[b::nch])
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - nch]) if x >= nch else 0
+                c = int(prev[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = out[y]
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def sniff_decode_image(payload: bytes):
+    """Dispatch over the REAL codecs: ``(w, h, pixels, fmt)`` with fmt in
+    {'ppm', 'png'}, or None when the payload is neither."""
+    ppm = try_decode_ppm(payload)
+    if ppm is not None:
+        return (*ppm, "ppm")
+    png = try_decode_png(payload)
+    if png is not None:
+        return (*png, "png")
+    return None
+
+
 def synth_ppm_media_table(n: int = 8, seed: int = 42) -> pa.Table:
     """Deterministic REAL PPM images (gradient + seeded noise) for the
     real-decode path."""
@@ -210,17 +338,18 @@ class DecodeStub:
 
     def _decode(self, payload: bytes, kind: str):
         # the declared kind gates the codec dispatch: a non-image payload
-        # that happens to carry a valid P6 header must NOT be silently
-        # decoded as pixels (round-3 advice).  In strict mode a
+        # that happens to carry a valid P6/PNG header must NOT be
+        # silently decoded as pixels (round-3 advice).  In strict mode a
         # contradiction between the declared kind and the sniffed format
         # is an error, not a fallback.
-        ppm = try_decode_ppm(payload) if kind == "image" else None
-        if kind != "image" and self.strict and try_decode_ppm(payload) is not None:
+        img = sniff_decode_image(payload) if kind == "image" else None
+        if kind != "image" and self.strict \
+                and sniff_decode_image(payload) is not None:
             raise ValueError(
-                f"payload sniffs as PPM/P6 but is declared kind={kind!r}"
+                f"payload sniffs as an image but is declared kind={kind!r}"
             )
-        if ppm is not None:
-            w, h, px = ppm
+        if img is not None:
+            w, h, px, _fmt = img
             lum = px.astype(np.float64).mean(axis=-1) / 255.0
             hist, _ = np.histogram(lum, bins=12, range=(0.0, 1.0))
             feat = np.concatenate([
@@ -313,16 +442,17 @@ class ResizeStub:
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
-            ppm = try_decode_ppm(payload) if kind == "image" else None
+            img = sniff_decode_image(payload) if kind == "image" else None
             if kind != "image" and self.strict \
-                    and try_decode_ppm(payload) is not None:
+                    and sniff_decode_image(payload) is not None:
                 raise ValueError(
-                    f"payload sniffs as PPM/P6 but is declared kind={kind!r}"
+                    f"payload sniffs as an image but is declared kind={kind!r}"
                 )
-            if ppm is not None:
+            if img is not None:
                 # REAL path: nearest-neighbor resample of actual pixels,
-                # re-encoded as a valid P6 stream
-                w, h, px = ppm
+                # re-encoded in the SOURCE container (P6 in -> P6 out,
+                # PNG in -> PNG out)
+                w, h, px, fmt = img
                 scale = self.max_side / max(w, h)
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 ys = (np.arange(nh) * h) // nh
@@ -332,7 +462,8 @@ class ResizeStub:
                 rows["kind"].append(kind)
                 rows["width"].append(nw)
                 rows["height"].append(nh)
-                rows["payload"].append(encode_ppm(out))
+                rows["payload"].append(
+                    encode_png(out) if fmt == "png" else encode_ppm(out))
                 continue
             if self.strict:
                 raise NotImplementedError(
@@ -480,6 +611,63 @@ SELECT media_ref,
        CAST(w AS DOUBLE) / h AS aspect
 FROM sums
 """
+
+
+def png_media_from_documents(docs, n: int = 16) -> "ray.data.Dataset":
+    """REAL PNG images with the same deterministic gradient pixels as
+    ``ppm_media_from_documents`` — the decode path here runs the full
+    compressed route (zlib inflate + chunk walk + unfilter), so the
+    hash oracle proves the PNG codec on actual compressed bytes."""
+    import pyarrow.compute as pc
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], n))
+        refs, kinds, payloads = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            w, h = 8 + d % 8, 8 + d % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(xx * 255 // (w - 1)).astype(np.uint8),
+                 (yy * 255 // (h - 1)).astype(np.uint8),
+                 (xx + yy).astype(np.uint8)],
+                axis=-1)
+            refs.append(f"media://png-doc/{d}")
+            kinds.append("image")
+            payloads.append(encode_png(px))
+        return pa.Table.from_pydict(
+            {"media_ref": refs, "kind": kinds, "payload": payloads},
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+# Same closed-form pixel statistics as PPM_FEATURES_SQL — the images are
+# pixel-identical, only the container (and therefore the decode route)
+# differs, which is exactly what makes this a codec oracle.
+PNG_FEATURES_SQL = PPM_FEATURES_SQL.replace("media://ppm-doc/",
+                                            "media://png-doc/")
+
+
+def png_features(docs) -> "ray.data.Dataset":
+    """Real compressed-decode feature query: gradient PNGs from documents
+    through the actor-pool decode stage (zlib inflate + unfilter),
+    projected to the SQL-comparable channel statistics."""
+    feats = decode_features(png_media_from_documents(docs))
+
+    def project(batch: pa.Table) -> pa.Table:
+        f = batch["feature"].to_pylist()
+        return pa.Table.from_pydict({
+            "media_ref": batch["media_ref"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "mean_r": pa.array([v[0] for v in f], pa.float64()),
+            "mean_g": pa.array([v[1] for v in f], pa.float64()),
+            "mean_b": pa.array([v[2] for v in f], pa.float64()),
+            "aspect": pa.array([v[3] for v in f], pa.float64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def ppm_features(docs) -> "ray.data.Dataset":

@@ -51,10 +51,11 @@ class TestMinhash:
 
 
 class TestMinhashPrefilterGate:
-    def test_prefilter_path_equals_full_cogroup_path(self, ray_session):
-        # the member-id broadcast prefilter (gate open) and the full
-        # corpus co-group (gate closed, member_broadcast_max=0) must
-        # produce identical verified pairs
+    def test_prefilter_path_equals_bloom_path(self, ray_session):
+        # the member-id broadcast prefilter (gate open) and the
+        # distributed Bloom semi-join (gate closed,
+        # member_broadcast_max=0) must produce identical verified pairs
+        # (Bloom has no false negatives; FPs are dropped downstream)
         texts = [
             BASE,
             BASE.replace("lazy", "sleepy"),
@@ -925,6 +926,132 @@ class TestGroupedTopkBruteForce:
         # ties must actually occur for the tie-break to be exercised
         dup = orders.duplicated(["o_custkey", "o_totalprice"], keep=False)
         assert dup.any()
+
+
+def _ref_png(px, ftype, ctype=2):
+    """Reference PNG writer used only by tests: encodes with a CHOSEN
+    scanline filter so every unfilter branch of try_decode_png is
+    exercised against an independent implementation of the spec."""
+    import struct
+    import zlib
+
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c).astype(np.int64)
+    rows, prev = [], np.zeros(w * c, np.int64)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(c, np.int64), row[:-c]])
+        if ftype == 1:
+            enc = (row - left) % 256
+        elif ftype == 2:
+            enc = (row - prev) % 256
+        elif ftype == 3:
+            enc = (row - (left + prev) // 2) % 256
+        elif ftype == 4:
+            enc = np.zeros(w * c, np.int64)
+            for x in range(w * c):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                enc[x] = (row[x] - pred) % 256
+        else:
+            enc = row
+        rows.append(np.concatenate([[ftype], enc]).astype(np.uint8))
+        prev = row
+    raw = np.stack(rows).tobytes()
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+class TestPngRealCodec:
+    def test_roundtrip_and_rejects_non_png(self):
+        from nmalign_ray.functions.media import encode_png, try_decode_png
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+        w, h, got = try_decode_png(encode_png(px))
+        assert (w, h) == (17, 23) and np.array_equal(got, px)
+        for junk in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\njunk",
+                     b"not a png at all"):
+            assert try_decode_png(junk) is None
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_every_unfilter_branch(self, ftype):
+        from nmalign_ray.functions.media import try_decode_png
+
+        rng = np.random.default_rng(ftype)
+        px = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+        w, h, got = try_decode_png(_ref_png(px, ftype))
+        assert np.array_equal(got, px)
+
+    def test_gray_and_rgba_color_types(self):
+        from nmalign_ray.functions.media import try_decode_png
+
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 256, (9, 11, 1), dtype=np.uint8)
+        _, _, got = try_decode_png(_ref_png(g, 2, ctype=0))
+        assert np.array_equal(got, np.repeat(g, 3, axis=2))
+        a = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+        _, _, got = try_decode_png(_ref_png(a, 4, ctype=6))
+        assert np.array_equal(got, a[:, :, :3])
+
+    def test_decode_features_run_the_compressed_route(self, ray_session):
+        # pixel-identical gradients to the PPM oracle but PNG-contained:
+        # the channel means must match the closed-form sums through
+        # zlib inflate + unfilter, not stub arithmetic
+        from nmalign_ray.functions.media import (
+            decode_features,
+            png_media_from_documents,
+            try_decode_png,
+        )
+
+        docs = ray_session.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array(range(8), pa.int64())}))
+        tbl_ds = png_media_from_documents(docs, n=8)
+        tbl = tbl_ds.to_pandas()
+        out = decode_features(
+            png_media_from_documents(docs, n=8)
+        ).to_pandas().set_index("media_ref")
+        assert len(out) == 8
+        for _, m in tbl.iterrows():
+            w, h, px = try_decode_png(m["payload"])
+            row = out.loc[m["media_ref"]]
+            assert (row["width"], row["height"]) == (w, h)
+            np.testing.assert_allclose(
+                np.asarray(row["feature"])[:3],
+                px.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0)
+
+    def test_resize_keeps_the_png_container(self, ray_session):
+        from nmalign_ray.functions.media import (
+            png_media_from_documents,
+            resize_images,
+            try_decode_png,
+        )
+
+        docs = ray_session.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array(range(4), pa.int64())}))
+        src = png_media_from_documents(docs, n=4).to_pandas()
+        out = resize_images(
+            png_media_from_documents(docs, n=4), max_side=6
+        ).to_pandas().set_index("media_ref")
+        for _, m in src.iterrows():
+            w, h, px = try_decode_png(m["payload"])
+            row = out.loc[m["media_ref"]]
+            nw, nh, rpx = try_decode_png(row["payload"])  # still PNG
+            assert (nw, nh) == (row["width"], row["height"])
+            ys = (np.arange(nh) * h) // nh
+            xs = (np.arange(nw) * w) // nw
+            assert np.array_equal(rpx, px[ys][:, xs])
 
 
 class TestPpmRealCodec:
