@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "inactive_customers",
         "normalize_docs",
         "ppm_features",
+        "png_features",
         "media_features",
         "media_resize",
         "media_frames",
