@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_features": lambda sf: media.png_features(
             _read(sf, "documents", ["doc_id"])
         ),
+        "wav_features": lambda sf: media.wav_features(
+            _read(sf, "documents", ["doc_id"])
+        ),
         "media_features": lambda sf: _media_features_projection(
             media.decode_features(media.media_from_documents(
                 _read(sf, "documents", ["doc_id", "text"])))
@@ -569,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms", "chunk_dedup", "decontaminate",
         "bloom_decontaminate", "group_sample", "inverted_index",
         "kmv_distinct", "mix_sample", "ppm_features", "png_features",
+        "wav_features",
         "media_features", "media_resize", "media_frames",
         # high-value distributed ops:
         "exact_dedup", "dedup_keepers", "jaccard_sample",
@@ -576,7 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute", "knn_lsh", "knn_ivf", "embedding_near_dups",
         "asof_join", "range_join", "grouped_topk", "running_totals",
         "cms_heavy_hitters", "value_quantiles", "sessionize",
-        "ranked_docs", "outer_join_orders", "key_skew",
+        "ranked_docs", "outer_join_orders",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -628,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": relational.RANGE_JOIN_SQL,
         "ppm_features": media.PPM_FEATURES_SQL,
         "png_features": media.PNG_FEATURES_SQL,
+        "wav_features": media.WAV_FEATURES_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

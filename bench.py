@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "normalize_docs",
         "ppm_features",
         "png_features",
+        "wav_features",
         "media_features",
         "media_resize",
         "media_frames",

@@ -285,6 +285,63 @@ def try_decode_png(payload: bytes):
     return w, h, px
 
 
+# ---------------------------------------------------------------------------
+# WAV codec — REAL, stdlib-only (RIFF chunk walk + struct): uncompressed
+# PCM is the one audio container that needs no codec library, so the
+# audio half of the decode seam gets a real path too (the image half got
+# PPM, then PNG).  16-bit PCM, any channel count, non-PCM formats return
+# None and fall through to the seam.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize (n,) or (n, ch) int16 samples as a PCM WAV stream."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def try_decode_wav(payload: bytes):
+    """Pure stdlib WAV/PCM parser: ``(rate, samples[n, ch] int16)`` or
+    None for anything that is not an uncompressed 16-bit PCM RIFF."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    try:
+        while pos + 8 <= len(payload):
+            tag = payload[pos:pos + 4]
+            (length,) = _struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + length]
+            if len(body) != length:
+                return None
+            if tag == b"fmt ":
+                if length < 16:
+                    return None
+                audio_fmt, ch, rate, _, _, bits = _struct.unpack(
+                    "<HHIIHH", body[:16])
+                if audio_fmt != 1 or bits != 16:
+                    return None
+            elif tag == b"data":
+                data = body
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+    except _struct.error:
+        return None
+    if rate is None or data is None or ch in (None, 0):
+        return None
+    frame = ch * 2
+    if len(data) % frame:
+        return None
+    samples = np.frombuffer(data, "<i2").reshape(-1, ch)
+    return rate, samples
+
+
 def sniff_decode_image(payload: bytes):
     """Dispatch over the REAL codecs: ``(w, h, pixels, fmt)`` with fmt in
     {'ppm', 'png'}, or None when the payload is neither."""
@@ -348,6 +405,34 @@ class DecodeStub:
             raise ValueError(
                 f"payload sniffs as an image but is declared kind={kind!r}"
             )
+        wav = try_decode_wav(payload) if kind == "audio" else None
+        if kind != "audio" and self.strict \
+                and try_decode_wav(payload) is not None:
+            raise ValueError(
+                f"payload sniffs as WAV/PCM but is declared kind={kind!r}"
+            )
+        if wav is not None:
+            # REAL audio path: exact integer sums -> one float op each,
+            # so the closed-form SQL twin reproduces the doubles
+            # bit-for-bit (same shape as the image channel means)
+            rate, samples = wav
+            s = samples[:, 0].astype(np.int64)
+            n = len(s)
+            ssum, ssq = int(s.sum()), int((s * s).sum())
+            zc = int(((s[1:] >= 0) != (s[:-1] >= 0)).sum()) if n > 1 else 0
+            import math
+
+            hist, _ = np.histogram(
+                s / 32768.0, bins=12, range=(-1.0, 1.0))
+            feat = np.concatenate([
+                [n / rate,
+                 (ssum / n) / 32768.0 if n else 0.0,
+                 math.sqrt(ssq / n) / 32768.0 if n else 0.0,
+                 zc / (n - 1) if n > 1 else 0.0],
+                hist.astype(np.float64) / max(n, 1),
+            ])
+            return (min(n, 2 ** 31 - 1), rate,
+                    hashlib.md5(payload).hexdigest(), feat)
         if img is not None:
             w, h, px, _fmt = img
             lum = px.astype(np.float64).mean(axis=-1) / 255.0
@@ -665,6 +750,82 @@ def png_features(docs) -> "ray.data.Dataset":
             "mean_g": pa.array([v[1] for v in f], pa.float64()),
             "mean_b": pa.array([v[2] for v in f], pa.float64()),
             "aspect": pa.array([v[3] for v in f], pa.float64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def wav_media_from_documents(docs, n: int = 16,
+                             rate: int = 8000) -> "ray.data.Dataset":
+    """REAL PCM WAV clips derived deterministically from the documents
+    table: doc_id < n becomes a sawtooth-ish integer waveform
+    ``s_i = ((i * k) % 200 - 100) * 300`` with ``k = 3 + doc_id % 5``
+    over ``n_samples = 64 + (doc_id % 8) * 16`` samples — pure integer
+    arithmetic, so the decoder's mean/RMS have closed-form SQL twins."""
+    import pyarrow.compute as pc
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], n))
+        refs, kinds, payloads = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            k = 3 + d % 5
+            ns = 64 + (d % 8) * 16
+            i = np.arange(ns, dtype=np.int64)
+            s = (((i * k) % 200 - 100) * 300).astype(np.int16)
+            refs.append(f"media://wav-doc/{d}")
+            kinds.append("audio")
+            payloads.append(encode_wav(s, rate=rate))
+        return pa.Table.from_pydict(
+            {"media_ref": refs, "kind": kinds, "payload": payloads},
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+# Closed-form twin of the REAL PCM statistics: sample sums over the
+# integer waveform via a constant generate_series cross join (same
+# pattern as PPM_FEATURES_SQL), one float op per feature replicating the
+# decoder's expression shape exactly.
+WAV_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, 'media://wav-doc/' || doc_id AS media_ref,
+         3 + doc_id % 5 AS k, 64 + (doc_id % 8) * 16 AS ns
+  FROM documents WHERE doc_id < 16
+),
+s AS (
+  SELECT doc_id,
+         sum(((g.i * k) % 200 - 100) * 300) AS ssum,
+         sum((((g.i * k) % 200 - 100) * 300)
+             * (((g.i * k) % 200 - 100) * 300)) AS ssq
+  FROM m, generate_series(0, 191) g(i) WHERE g.i < ns
+  GROUP BY doc_id
+)
+SELECT media_ref,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(ns AS DOUBLE) / 8000 AS duration_sec,
+       (CAST(ssum AS DOUBLE) / ns) / 32768.0 AS mean_norm,
+       sqrt(CAST(ssq AS DOUBLE) / ns) / 32768.0 AS rms
+FROM m JOIN s USING (doc_id)
+"""
+
+
+def wav_features(docs) -> "ray.data.Dataset":
+    """Real audio-decode feature query: deterministic PCM clips from
+    documents through the actor-pool decode stage (RIFF parse), projected
+    to the SQL-comparable sample statistics."""
+    feats = decode_features(wav_media_from_documents(docs))
+
+    def project(batch: pa.Table) -> pa.Table:
+        f = batch["feature"].to_pylist()
+        return pa.Table.from_pydict({
+            "media_ref": batch["media_ref"],
+            "n_samples": batch["width"],
+            "sample_rate": batch["height"],
+            "duration_sec": pa.array([v[0] for v in f], pa.float64()),
+            "mean_norm": pa.array([v[1] for v in f], pa.float64()),
+            "rms": pa.array([v[2] for v in f], pa.float64()),
         })
 
     return feats.map_batches(project, batch_format="pyarrow")

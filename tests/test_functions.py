@@ -1054,6 +1054,79 @@ class TestPngRealCodec:
             assert np.array_equal(rpx, px[ys][:, xs])
 
 
+class TestWavRealCodec:
+    def test_roundtrip_and_rejects_non_wav(self):
+        from nmalign_ray.functions.media import encode_wav, try_decode_wav
+
+        rng = np.random.default_rng(5)
+        s = rng.integers(-32768, 32768, 300, dtype=np.int16)
+        rate, got = try_decode_wav(encode_wav(s, rate=16000))
+        assert rate == 16000 and np.array_equal(got[:, 0], s)
+        # stereo
+        st = rng.integers(-32768, 32768, (50, 2), dtype=np.int16)
+        rate, got = try_decode_wav(encode_wav(st))
+        assert got.shape == (50, 2) and np.array_equal(got, st)
+        for junk in (b"", b"RIFF", b"RIFFxxxxWAVE",
+                     b"RIFF\x00\x00\x00\x00AIFF"):
+            assert try_decode_wav(junk) is None
+
+    def test_odd_length_chunks_are_word_aligned(self):
+        # a LIST chunk with odd length before fmt/data must not derail
+        # the walk (RIFF pads chunks to word boundaries)
+        import struct
+
+        from nmalign_ray.functions.media import encode_wav, try_decode_wav
+
+        s = np.arange(10, dtype=np.int16)
+        wav = encode_wav(s)
+        odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        patched = wav[:12] + odd + wav[12:8] if False else \
+            b"RIFF" + struct.pack("<I", len(wav[8:]) + len(odd)) + \
+            b"WAVE" + odd + wav[12:]
+        rate, got = try_decode_wav(patched)
+        assert np.array_equal(got[:, 0], s)
+
+    def test_decode_features_match_closed_form(self, ray_session):
+        import math
+
+        from nmalign_ray.functions.media import (
+            decode_features,
+            try_decode_wav,
+            wav_media_from_documents,
+        )
+
+        docs = ray_session.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array(range(8), pa.int64())}))
+        tbl = wav_media_from_documents(docs, n=8).to_pandas()
+        out = decode_features(
+            wav_media_from_documents(docs, n=8)
+        ).to_pandas().set_index("media_ref")
+        assert len(out) == 8
+        for _, m in tbl.iterrows():
+            rate, samples = try_decode_wav(m["payload"])
+            s = samples[:, 0].astype(np.int64)
+            row = out.loc[m["media_ref"]]
+            assert (row["width"], row["height"]) == (len(s), rate)
+            feat = np.asarray(row["feature"])
+            assert feat[0] == len(s) / rate
+            assert feat[1] == (int(s.sum()) / len(s)) / 32768.0
+            assert feat[2] == math.sqrt(int((s * s).sum()) / len(s)) / 32768.0
+            np.testing.assert_allclose(feat[4:].sum(), 1.0)
+
+    def test_strict_flags_kind_contradictions(self):
+        from nmalign_ray.functions import media
+
+        s = np.arange(20, dtype=np.int16)
+        wav = media.encode_wav(s)
+        with pytest.raises(ValueError, match="declared kind"):
+            media.DecodeStub(strict=True)._decode(wav, "image")
+        # lenient: falls to the deterministic fake for the wrong kind
+        w, h, _, _ = media.DecodeStub()._decode(wav, "image")
+        import hashlib
+        digest = hashlib.md5(wav).digest()
+        assert (w, h) == (16 + digest[0], 16 + digest[1])
+
+
 class TestPpmRealCodec:
     def test_roundtrip_and_rejects_non_ppm(self):
         from nmalign_ray.functions.media import encode_ppm, try_decode_ppm
