@@ -124,9 +124,97 @@ def read_corpus(
         lambda b: _conform(b, expected), batch_format="pyarrow")
 
 
-def write_corpus(ds: ray.data.Dataset, path: str) -> None:
-    """Write a span-document corpus as partitioned parquet."""
-    ds.write_parquet(path)
+def write_corpus(ds: ray.data.Dataset, path: str,
+                 format: str = "parquet") -> None:
+    """Write a span-document corpus as partitioned parquet (canonical)
+    or JSON-lines (interchange)."""
+    if format == "parquet":
+        ds.write_parquet(path)
+    elif format == "jsonl":
+        ds.write_json(path)
+    else:
+        raise ValueError(f"unknown corpus format {format!r}")
+
+
+def read_flat_corpus(
+    path: str,
+    format: str = "csv",
+    with_refs: bool = True,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Read a FLAT one-row-per-span export and assemble span documents.
+
+    Real corpora are often exported flat (CSV has no nested types):
+    columns ``doc_id, side ('input'|'ref'), kind, text, media_ref,
+    offset``.  Documents are assembled with ONE hash shuffle on
+    ``doc_id`` (``groupby().map_groups`` — the same exchange the
+    reassembly stage uses), then conformed to the canonical schema.
+    CSV nulls (empty strings) are restored to ``""``."""
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if format == "csv":
+        ds = ray.data.read_csv(path, **kwargs)
+    elif format == "parquet":
+        ds = ray.data.read_parquet(path, **kwargs)
+    else:
+        raise ValueError(f"unknown flat-corpus format {format!r}")
+    expected = _expected(with_refs)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        doc_id = str(group["doc_id"][0].as_py())
+        sides = [str(s) for s in group["side"].to_pylist()]
+        kinds = group["kind"].to_pylist()
+        texts = group["text"].to_pylist()
+        refs = group["media_ref"].to_pylist()
+        offs = group["offset"].to_pylist()
+        rows = sorted(
+            zip(sides, kinds, texts, refs, offs),
+            key=lambda r: (int(r[4]), r[0]))
+        spans = [
+            {"kind": k or "", "text": t or "", "media_ref": m or "",
+             "offset": int(o)}
+            for s, k, t, m, o in rows if s == "input"
+        ]
+        ref_spans = [
+            {"kind": k or "", "text": t or "", "media_ref": m or "",
+             "offset": int(o)}
+            for s, k, t, m, o in rows if s == "ref"
+        ]
+        cols = {"doc_id": [doc_id], "spans": [spans]}
+        if with_refs:
+            cols["ref_spans"] = [ref_spans]
+        return pa.Table.from_pydict(cols, schema=expected)
+
+    return ds.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def explode_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Inverse of ``read_flat_corpus``'s assembly: span documents to flat
+    one-row-per-span rows (the CSV-exportable shape)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "side": [], "kind": [], "text": [],
+                "media_ref": [], "offset": []}
+        has_refs = "ref_spans" in batch.schema.names
+        for i, did in enumerate(batch["doc_id"].to_pylist()):
+            sides = [("input", batch["spans"][i].as_py() or [])]
+            if has_refs:
+                sides.append(("ref", batch["ref_spans"][i].as_py() or []))
+            for side, spans in sides:
+                for s in spans:
+                    rows["doc_id"].append(did)
+                    rows["side"].append(side)
+                    rows["kind"].append(s["kind"])
+                    rows["text"].append(s["text"])
+                    rows["media_ref"].append(s["media_ref"])
+                    rows["offset"].append(s["offset"])
+        return pa.Table.from_pydict(rows, schema=pa.schema(
+            [("doc_id", pa.string()), ("side", pa.string()),
+             ("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def spans_from_lines(lines: list[str], kind: str = "text") -> list[dict]:
@@ -142,6 +230,8 @@ __all__ = [
     "CorpusSchemaError",
     "read_corpus",
     "write_corpus",
+    "read_flat_corpus",
+    "explode_corpus",
     "spans_from_lines",
     "SPAN_TYPE",
 ]

@@ -73,6 +73,41 @@ class TestReadCorpus:
         with pytest.raises(ValueError):
             read_corpus("/tmp/x", "orc")
 
+    def test_flat_csv_roundtrip(self, ray_session, corpus_dir, tmp_path):
+        # explode to the flat one-row-per-span shape, export CSV, read it
+        # back via the assembly shuffle — must reproduce the canonical
+        # corpus exactly (side/offset ordering, empty media_ref restored)
+        import pandas as pd
+
+        from nmalign_ray.sources import explode_corpus, read_flat_corpus
+
+        src = read_corpus(os.path.join(corpus_dir, "c.parquet"), "parquet")
+        flat = explode_corpus(src).to_pandas()
+        csv_dir = tmp_path / "flat"
+        csv_dir.mkdir()
+        flat.to_csv(csv_dir / "rows.csv", index=False)
+        back = _collect(
+            read_flat_corpus(str(csv_dir / "rows.csv"), "csv"), ray_session)
+        want = _collect(
+            read_corpus(os.path.join(corpus_dir, "c.parquet"), "parquet"),
+            ray_session)
+        assert back.schema.equals(CORPUS_SCHEMA)
+        assert back.equals(want)
+
+    def test_jsonl_sink_roundtrips(self, ray_session, corpus_dir, tmp_path):
+        from nmalign_ray.sources import write_corpus
+
+        src = read_corpus(os.path.join(corpus_dir, "c.parquet"), "parquet")
+        out = tmp_path / "sink"
+        out.mkdir()
+        write_corpus(src, str(out), format="jsonl")
+        files = [str(out / f) for f in os.listdir(out)]
+        back = _collect(read_corpus(files, "jsonl"), ray_session)
+        want = _collect(
+            read_corpus(os.path.join(corpus_dir, "c.parquet"), "parquet"),
+            ray_session)
+        assert back.equals(want)
+
     def test_corpus_runs_through_checkpointed_pipeline(
             self, ray_session, corpus_dir, tmp_path):
         from nmalign_ray.pipelines.checkpoint import (
