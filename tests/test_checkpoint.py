@@ -123,6 +123,57 @@ class TestCheckpointedSink:
         assert summary["partitions_written"] == len(victims)
         assert spans_key(read_output(out)) == full
 
+    def test_resume_across_cluster_sizes_fresh_processes(
+        self, corpus, tmp_path
+    ):
+        # the verdict-6 done criterion: a job started on one cluster size
+        # and resumed on another (fresh ray sessions, different num_cpus)
+        # must produce the same output as an uninterrupted run — the
+        # pinned manifest geometry, not the new cluster, owns P
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "corpus.parquet"
+        pq.write_table(corpus, src)
+        out = tmp_path / "out"
+        script = """
+import sys
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]),
+         include_dashboard=False, logging_level="ERROR")
+import ray.data
+from nmalign_ray.pipelines.checkpoint import run_checkpointed
+from nmalign_ray.schema import EngineConfig
+ds = ray.data.read_parquet(sys.argv[2])
+cfg = EngineConfig(salt_threshold=64, align_batch_size=8,
+                   align_concurrency=2)
+print(run_checkpointed(ds, sys.argv[3], cfg))
+ray.shutdown()
+"""
+        env = dict(os.environ, PYTHONPATH=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+
+        def run(ncpu):
+            return subprocess.run(
+                [sys.executable, "-c", script, str(ncpu), str(src),
+                 str(out)],
+                env=env, capture_output=True, text=True, check=True)
+
+        run(2)
+        full = spans_key(read_output(str(out)))
+        pinned = json.load(
+            open(os.path.join(out, "_manifest", "meta.json")))
+        victims = sorted(completed_partitions(str(out)))[:2]
+        for pid in victims:
+            shutil.rmtree(os.path.join(out, f"part={pid}"))
+            os.remove(os.path.join(out, "_manifest", f"part-{pid}.json"))
+        run(4)  # resume on a "bigger cluster"
+        assert json.load(
+            open(os.path.join(out, "_manifest", "meta.json"))) == pinned
+        assert spans_key(read_output(str(out))) == full
+
     def test_noop_when_all_complete(self, ray_session, corpus, config, tmp_path):
         out = str(tmp_path / "out4")
         ds = ray_session.data.from_arrow(corpus)
