@@ -165,8 +165,12 @@ def _sized_config(corpus):
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     n_tasks = max(1, math.ceil(corpus.count() / cfg.align_batch_size))
+    # the min(..., cpus - 1) clamp never reserves the whole cluster for
+    # the pool — a full-width pool starves read/shuffle tasks and the
+    # streaming executor deadlocks (see pipelines.extract.resolve_concurrency)
     return EngineConfig(
-        align_concurrency=max(2, min(cpus - 2, -(-n_tasks // 4))))
+        align_concurrency=min(max(2, min(cpus - 2, -(-n_tasks // 4))),
+                              max(1, cpus - 1)))
 
 
 def _extract_query(sf_dir: str, families=None):

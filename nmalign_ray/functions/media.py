@@ -5,10 +5,12 @@ actor-pool ``map_batches`` stages.  The decode seam is REAL for two
 image formats: uncompressed PPM (P6) — a pure-numpy parser/encoder —
 and compressed PNG — a stdlib-only decoder (zlib inflate + IHDR/IDAT
 chunk walk + scanline unfilter) covering 8-bit gray/RGB/RGBA,
-non-interlaced, all five filters.  Dimension extraction,
-channel/luminance features, and nearest-neighbor resize operate on
-actual pixels for both.  Formats needing codec libraries this container
-lacks (JPEG/audio/video) remain behind the clearly marked seam:
+non-interlaced, all five filters — and for PCM WAV audio (RIFF chunk
+walk, 16-bit, any channel count).  Dimension extraction,
+channel/luminance/sample features, and nearest-neighbor resize operate
+on actual pixels/samples.  Formats needing codec libraries this
+container lacks (JPEG, compressed audio, video) remain behind the
+clearly marked seam:
 deterministic fake decode (shape + checksum derived from the bytes) and
 ``strict`` mode raising ``NotImplementedError`` where PIL / soundfile /
 av would plug in.
@@ -244,11 +246,21 @@ def try_decode_png(payload: bytes):
                 or filt != 0 or interlace != 0 or w <= 0 or h <= 0):
             return None
         nch = {0: 1, 2: 3, 6: 4}[ctype]
-        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        expected = h * (stride + 1)
+        if w * h > 2 ** 26:  # 67M pixels: beyond the decode stage's remit
+            return None
+        # bounded inflate: a zlib-bomb IDAT with a huge IHDR claim must
+        # not allocate past what the (already-capped) header promises;
+        # asking for expected+1 distinguishes oversized streams without
+        # tripping on the adler trailer at an exact-size boundary
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
+        if len(raw) > expected:
+            return None  # stream inflates past the header's size
     except (zlib.error, _struct.error):
         return None
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         return None
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes, data = raw[:, 0], raw[:, 1:]
@@ -335,6 +347,11 @@ def try_decode_wav(payload: bytes):
         return None
     if rate is None or data is None or ch in (None, 0):
         return None
+    if rate == 0 or rate > 2 ** 31 - 1:
+        # a zero rate would divide-by-zero the duration feature and a
+        # >int32 rate overflows the height column: treat both as not-WAV
+        # so the payload falls through to the stub/strict seam
+        return None
     frame = ch * 2
     if len(data) % frame:
         return None
@@ -352,6 +369,31 @@ def sniff_decode_image(payload: bytes):
     if png is not None:
         return (*png, "png")
     return None
+
+
+def _sniffed_format(payload: bytes):
+    """Cheap HEADER-level format sniff: 'image' for P6/PNG magic, 'audio'
+    for RIFF/WAVE, else None.  O(1) — used only to detect payloads whose
+    declared ``kind`` contradicts their container (strict mode), so no
+    full decode is spent on a row the stage will reject anyway."""
+    if payload.startswith(b"P6\n") or payload.startswith(_PNG_SIG):
+        return "image"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"WAVE":
+        return "audio"
+    return None
+
+
+def _check_kind_contradiction(payload: bytes, kind: str, strict: bool):
+    """Shared strict-mode gate for DecodeStub / ResizeStub: a payload
+    whose container sniff disagrees with the declared kind is an error,
+    not a silent fallback (round-3 advice)."""
+    if not strict:
+        return
+    fmt = _sniffed_format(payload)
+    if fmt is not None and fmt != kind:
+        raise ValueError(
+            f"payload sniffs as {fmt} but is declared kind={kind!r}")
 
 
 def synth_ppm_media_table(n: int = 8, seed: int = 42) -> pa.Table:
@@ -396,21 +438,11 @@ class DecodeStub:
     def _decode(self, payload: bytes, kind: str):
         # the declared kind gates the codec dispatch: a non-image payload
         # that happens to carry a valid P6/PNG header must NOT be
-        # silently decoded as pixels (round-3 advice).  In strict mode a
-        # contradiction between the declared kind and the sniffed format
-        # is an error, not a fallback.
+        # silently decoded as pixels (round-3 advice); strict mode flags
+        # the contradiction via a cheap header sniff
+        _check_kind_contradiction(payload, kind, self.strict)
         img = sniff_decode_image(payload) if kind == "image" else None
-        if kind != "image" and self.strict \
-                and sniff_decode_image(payload) is not None:
-            raise ValueError(
-                f"payload sniffs as an image but is declared kind={kind!r}"
-            )
         wav = try_decode_wav(payload) if kind == "audio" else None
-        if kind != "audio" and self.strict \
-                and try_decode_wav(payload) is not None:
-            raise ValueError(
-                f"payload sniffs as WAV/PCM but is declared kind={kind!r}"
-            )
         if wav is not None:
             # REAL audio path: exact integer sums -> one float op each,
             # so the closed-form SQL twin reproduces the doubles
@@ -527,12 +559,8 @@ class ResizeStub:
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
+            _check_kind_contradiction(payload, kind, self.strict)
             img = sniff_decode_image(payload) if kind == "image" else None
-            if kind != "image" and self.strict \
-                    and sniff_decode_image(payload) is not None:
-                raise ValueError(
-                    f"payload sniffs as an image but is declared kind={kind!r}"
-                )
             if img is not None:
                 # REAL path: nearest-neighbor resample of actual pixels,
                 # re-encoded in the SOURCE container (P6 in -> P6 out,
@@ -624,37 +652,48 @@ def sample_frames(media: ray.data.Dataset, frames_per_item: int = 4,
     )
 
 
-def ppm_media_from_documents(docs, n: int = 16) -> "ray.data.Dataset":
-    """REAL PPM images derived deterministically from the documents
-    table: doc_id < n becomes a gradient image with
-    ``w = 8 + doc_id % 8``, ``h = 8 + doc_id % 5``, channels
-    ``R = x*255 // (w-1)``, ``G = y*255 // (h-1)``, ``B = x + y``
-    (always < 256 at these dims).  Pure integer arithmetic, so the
-    channel means the real decoder extracts have closed-form SQL twins
-    — the media pipeline's hash oracle runs through ACTUAL pixels, not
-    stub arithmetic."""
+def _gradient_px(d: int) -> np.ndarray:
+    """The shared deterministic gradient image for doc ``d``:
+    ``w = 8 + d % 8``, ``h = 8 + d % 5``, channels ``R = x*255 // (w-1)``,
+    ``G = y*255 // (h-1)``, ``B = x + y`` (always < 256 at these dims).
+    ONE definition feeds both the PPM and PNG fixtures — the
+    pixel-identical premise their two SQL twins rely on."""
+    w, h = 8 + d % 8, 8 + d % 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 // (w - 1)).astype(np.uint8),
+         (yy * 255 // (h - 1)).astype(np.uint8),
+         (xx + yy).astype(np.uint8)],
+        axis=-1)
+
+
+def _synth_media_from_documents(docs, n: int, prefix: str, kind: str,
+                                payload_fn) -> "ray.data.Dataset":
+    """Shared scaffold for the deterministic real-codec fixtures: filter
+    doc_id < n, derive one payload per doc via ``payload_fn(doc_id)``."""
     import pyarrow.compute as pc
 
     def to_media(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less(batch["doc_id"], n))
-        refs, kinds, payloads = [], [], []
-        for d in batch["doc_id"].to_pylist():
-            w, h = 8 + d % 8, 8 + d % 5
-            yy, xx = np.mgrid[0:h, 0:w]
-            px = np.stack(
-                [(xx * 255 // (w - 1)).astype(np.uint8),
-                 (yy * 255 // (h - 1)).astype(np.uint8),
-                 (xx + yy).astype(np.uint8)],
-                axis=-1)
-            refs.append(f"media://ppm-doc/{d}")
-            kinds.append("image")
-            payloads.append(encode_ppm(px))
+        ids = batch["doc_id"].to_pylist()
         return pa.Table.from_pydict(
-            {"media_ref": refs, "kind": kinds, "payload": payloads},
+            {"media_ref": [f"media://{prefix}/{d}" for d in ids],
+             "kind": [kind] * len(ids),
+             "payload": [payload_fn(d) for d in ids]},
             schema=MEDIA_SCHEMA,
         )
 
     return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def ppm_media_from_documents(docs, n: int = 16) -> "ray.data.Dataset":
+    """REAL PPM images derived deterministically from the documents
+    table (gradient pixels, see ``_gradient_px``).  Pure integer
+    arithmetic, so the channel means the real decoder extracts have
+    closed-form SQL twins — the media pipeline's hash oracle runs
+    through ACTUAL pixels, not stub arithmetic."""
+    return _synth_media_from_documents(
+        docs, n, "ppm-doc", "image", lambda d: encode_ppm(_gradient_px(d)))
 
 
 # Closed-form twin of the REAL pixel statistics: the gradient images'
@@ -700,31 +739,12 @@ FROM sums
 
 def png_media_from_documents(docs, n: int = 16) -> "ray.data.Dataset":
     """REAL PNG images with the same deterministic gradient pixels as
-    ``ppm_media_from_documents`` — the decode path here runs the full
-    compressed route (zlib inflate + chunk walk + unfilter), so the
-    hash oracle proves the PNG codec on actual compressed bytes."""
-    import pyarrow.compute as pc
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less(batch["doc_id"], n))
-        refs, kinds, payloads = [], [], []
-        for d in batch["doc_id"].to_pylist():
-            w, h = 8 + d % 8, 8 + d % 5
-            yy, xx = np.mgrid[0:h, 0:w]
-            px = np.stack(
-                [(xx * 255 // (w - 1)).astype(np.uint8),
-                 (yy * 255 // (h - 1)).astype(np.uint8),
-                 (xx + yy).astype(np.uint8)],
-                axis=-1)
-            refs.append(f"media://png-doc/{d}")
-            kinds.append("image")
-            payloads.append(encode_png(px))
-        return pa.Table.from_pydict(
-            {"media_ref": refs, "kind": kinds, "payload": payloads},
-            schema=MEDIA_SCHEMA,
-        )
-
-    return docs.map_batches(to_media, batch_format="pyarrow")
+    ``ppm_media_from_documents`` (one ``_gradient_px`` definition) — the
+    decode path here runs the full compressed route (zlib inflate +
+    chunk walk + unfilter), so the hash oracle proves the PNG codec on
+    actual compressed bytes."""
+    return _synth_media_from_documents(
+        docs, n, "png-doc", "image", lambda d: encode_png(_gradient_px(d)))
 
 
 # Same closed-form pixel statistics as PPM_FEATURES_SQL — the images are
@@ -762,25 +782,14 @@ def wav_media_from_documents(docs, n: int = 16,
     ``s_i = ((i * k) % 200 - 100) * 300`` with ``k = 3 + doc_id % 5``
     over ``n_samples = 64 + (doc_id % 8) * 16`` samples — pure integer
     arithmetic, so the decoder's mean/RMS have closed-form SQL twins."""
-    import pyarrow.compute as pc
+    def wave(d: int) -> bytes:
+        k = 3 + d % 5
+        ns = 64 + (d % 8) * 16
+        i = np.arange(ns, dtype=np.int64)
+        return encode_wav((((i * k) % 200 - 100) * 300).astype(np.int16),
+                          rate=rate)
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less(batch["doc_id"], n))
-        refs, kinds, payloads = [], [], []
-        for d in batch["doc_id"].to_pylist():
-            k = 3 + d % 5
-            ns = 64 + (d % 8) * 16
-            i = np.arange(ns, dtype=np.int64)
-            s = (((i * k) % 200 - 100) * 300).astype(np.int16)
-            refs.append(f"media://wav-doc/{d}")
-            kinds.append("audio")
-            payloads.append(encode_wav(s, rate=rate))
-        return pa.Table.from_pydict(
-            {"media_ref": refs, "kind": kinds, "payload": payloads},
-            schema=MEDIA_SCHEMA,
-        )
-
-    return docs.map_batches(to_media, batch_format="pyarrow")
+    return _synth_media_from_documents(docs, n, "wav-doc", "audio", wave)
 
 
 # Closed-form twin of the REAL PCM statistics: sample sums over the

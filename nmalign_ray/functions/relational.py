@@ -693,11 +693,17 @@ def value_quantiles(events: ray.data.Dataset) -> ray.data.Dataset:
     width = max(32, cpus * 4)
 
     def tag(batch: pa.Table) -> pa.Table:
-        shard = pa.array(
-            batch["user_id"].to_numpy(zero_copy_only=False) % width,
-            pa.int64())
+        keys = batch["user_id"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            shard = keys % width
+        else:
+            # non-numeric keys (strings, etc.): a process-stable hash —
+            # pd.util.hash_array uses a FIXED default hash key, so the
+            # same user_id lands on the same shard in every task
+            shard = (pd.util.hash_array(keys) % width).astype(np.int64)
         return pa.Table.from_arrays(
-            [batch["user_id"], batch["value"], shard],
+            [batch["user_id"], batch["value"],
+             pa.array(shard, pa.int64())],
             ["user_id", "value", "shard"])
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -705,7 +711,9 @@ def value_quantiles(events: ray.data.Dataset) -> ray.data.Dataset:
         val = g["value"].to_numpy(dtype=np.float64)
         order = np.lexsort((val, uid))
         uid_s, val_s = uid[order], val[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(uid_s)) + 1])
+        # boundary test via != (np.diff would reject string keys)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uid_s[1:] != uid_s[:-1]) + 1])
         n = np.diff(np.concatenate([starts, [len(uid_s)]]))
         return pd.DataFrame(
             {"user_id": uid_s[starts],

@@ -64,6 +64,16 @@ def resolve_num_partitions(out_dir: str, cfg: EngineConfig) -> int:
                 f"{pinned}; config asks for {cfg.num_partitions} — resume "
                 "must keep the original partitioning")
         return pinned
+    if completed_partitions(out_dir) and cfg.num_partitions is None:
+        # a pre-meta.json checkpoint (older layout) being resumed with
+        # the auto default: re-deriving P from TODAY'S cluster would
+        # re-key crc32 % P and silently skip/duplicate documents — the
+        # caller must state the original value explicitly (it is then
+        # pinned going forward)
+        raise ValueError(
+            f"checkpoint at {out_dir} has completed partitions but no "
+            "_manifest/meta.json (written by an older version); pass the "
+            "original num_partitions explicitly to resume it")
     num = cfg.resolved_partitions()
     os.makedirs(os.path.dirname(meta_path), exist_ok=True)
     tmp = meta_path + ".tmp"

@@ -35,8 +35,12 @@ def resolve_concurrency(cfg: EngineConfig):
         cpus = int(ray.cluster_resources().get("CPU", 8))
     # fixed pool: an autoscaling pool ramps from its floor over the first
     # half of the job and leaves the alignment stage under-parallelized
-    # (measured ~14 effective actors of 30 at sf0.1)
-    return max(2, cpus - 2)
+    # (measured ~14 effective actors of 30 at sf0.1).  Never reserve the
+    # LAST cpu: actor pools hold their CPUs for the whole stage, and a
+    # pool as wide as the cluster starves the read/shuffle tasks — the
+    # streaming executor then deadlocks (observed at num_cpus=2 with a
+    # 2-actor pool: init fine, zero progress).
+    return min(max(2, cpus - 2), max(1, cpus - 1))
 
 
 def build_extract_pipeline(

@@ -105,6 +105,27 @@ class TestCheckpointedSink:
         assert resolve_num_partitions(
             out, EC(num_partitions=first)) == first
 
+    def test_legacy_checkpoint_without_meta_requires_explicit_p(
+        self, corpus, tmp_path
+    ):
+        # a pre-meta.json checkpoint resumed with the auto default must
+        # fail loudly — re-deriving P would re-key crc32 % P and corrupt
+        # the resume; an explicit P resumes and pins it
+        from nmalign_ray.pipelines.checkpoint import resolve_num_partitions
+        from nmalign_ray.schema import EngineConfig as EC
+
+        out = str(tmp_path / "legacy")
+        mdir = os.path.join(out, "_manifest")
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "part-0.json"), "w") as f:
+            json.dump({"pid": 0, "num_docs": 1, "matched": 1, "total": 1,
+                       "unmatched_ref_count": 0}, f)
+        with pytest.raises(ValueError, match="older version"):
+            resolve_num_partitions(out, EC(num_partitions=None))
+        assert resolve_num_partitions(out, EC(num_partitions=32)) == 32
+        # now pinned: auto resolves to the pinned value
+        assert resolve_num_partitions(out, EC(num_partitions=None)) == 32
+
     def test_resume_with_auto_partitions(self, ray_session, corpus, tmp_path):
         # e2e: auto-partitioned run, torn partition, resume repairs it and
         # the output matches the uninterrupted run (the filter reads the
@@ -141,8 +162,11 @@ class TestCheckpointedSink:
         script = """
 import sys
 import ray
+# small explicit object store: this subprocess cluster coexists with the
+# pytest session's cluster, and two default-sized stores exhaust /dev/shm
 ray.init(address="local", num_cpus=int(sys.argv[1]),
-         include_dashboard=False, logging_level="ERROR")
+         include_dashboard=False, logging_level="ERROR",
+         object_store_memory=1_000_000_000)
 import ray.data
 from nmalign_ray.pipelines.checkpoint import run_checkpointed
 from nmalign_ray.schema import EngineConfig
@@ -159,9 +183,13 @@ ray.shutdown()
             return subprocess.run(
                 [sys.executable, "-c", script, str(ncpu), str(src),
                  str(out)],
-                env=env, capture_output=True, text=True, check=True)
+                env=env, capture_output=True, text=True, check=True,
+                timeout=240)
 
-        run(2)
+        # 4 and 8 cpus: the 2-actor aligner pool RESERVES its CPUs, so a
+        # 2-cpu cluster leaves zero for read/shuffle tasks and the
+        # streaming executor starves (observed: init fine, pipeline hangs)
+        run(4)
         full = spans_key(read_output(str(out)))
         pinned = json.load(
             open(os.path.join(out, "_manifest", "meta.json")))

@@ -794,6 +794,26 @@ class TestKeySkew:
         assert len(out) == 0
 
 
+class TestValueQuantiles:
+    def test_string_keys_supported(self, ray_session):
+        # the coarse-shard rewrite must not narrow the key domain: the
+        # old groupby path accepted any hashable key type
+        from nmalign_ray.functions import relational as rel
+
+        tbl = pa.Table.from_pydict({
+            "user_id": pa.array(["u-a"] * 5 + ["u-b"] * 3, pa.string()),
+            "value": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 9.0, 7.0, 8.0],
+                              pa.float64()),
+        })
+        out = rel.value_quantiles(
+            ray_session.data.from_arrow(tbl).repartition(3)
+        ).to_pandas().set_index("user_id")
+        assert out.loc["u-a", "p50"] == 3.0  # v[floor(4*0.5)] of sorted
+        assert out.loc["u-a", "p90"] == 4.0  # v[floor(4*0.9)]
+        assert out.loc["u-b", "p50"] == 8.0
+        assert out.loc["u-b", "n_events"] == 3
+
+
 class TestVocabBroadcastGate:
     def test_top_terms_gate_raises_loudly(self, ray_session, monkeypatch):
         from nmalign_ray.functions import textstats as ts
@@ -994,6 +1014,31 @@ class TestPngRealCodec:
         w, h, got = try_decode_png(_ref_png(px, ftype))
         assert np.array_equal(got, px)
 
+    def test_zlib_bomb_is_rejected_without_inflation(self):
+        # a small payload claiming huge dims (or inflating past its
+        # header's size) must return None, not allocate gigabytes
+        import struct
+        import zlib
+
+        from nmalign_ray.functions.media import try_decode_png
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+
+        # dims beyond the pixel cap
+        ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+        bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+                + chunk(b"IEND", b""))
+        assert try_decode_png(bomb) is None
+        # small dims but the stream inflates past the header's claim
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        over = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10000))
+                + chunk(b"IEND", b""))
+        assert try_decode_png(over) is None
+
     def test_gray_and_rgba_color_types(self):
         from nmalign_ray.functions.media import try_decode_png
 
@@ -1069,6 +1114,16 @@ class TestWavRealCodec:
         for junk in (b"", b"RIFF", b"RIFFxxxxWAVE",
                      b"RIFF\x00\x00\x00\x00AIFF"):
             assert try_decode_wav(junk) is None
+        # rate=0 (would divide-by-zero the duration feature) and a
+        # >int32 rate (would overflow the height column) are not-WAV
+        import struct
+
+        wav = encode_wav(s, rate=16000)
+        i = wav.index(b"fmt ") + 8 + 4  # sample-rate field offset
+        assert try_decode_wav(
+            wav[:i] + struct.pack("<I", 0) + wav[i + 4:]) is None
+        assert try_decode_wav(
+            wav[:i] + struct.pack("<I", 2 ** 31) + wav[i + 4:]) is None
 
     def test_odd_length_chunks_are_word_aligned(self):
         # a LIST chunk with odd length before fmt/data must not derail
@@ -1080,9 +1135,8 @@ class TestWavRealCodec:
         s = np.arange(10, dtype=np.int16)
         wav = encode_wav(s)
         odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
-        patched = wav[:12] + odd + wav[12:8] if False else \
-            b"RIFF" + struct.pack("<I", len(wav[8:]) + len(odd)) + \
-            b"WAVE" + odd + wav[12:]
+        patched = (b"RIFF" + struct.pack("<I", len(wav[8:]) + len(odd))
+                   + b"WAVE" + odd + wav[12:])
         rate, got = try_decode_wav(patched)
         assert np.array_equal(got[:, 0], s)
 
