@@ -540,6 +540,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_features": lambda sf: media.wav_features(
             _read(sf, "documents", ["doc_id"])
         ),
+        "text_embed": lambda sf: simsearch.text_embed_features(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "embed_knn": lambda sf: simsearch.embed_knn(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "media_features": lambda sf: _media_features_projection(
             media.decode_features(media.media_from_documents(
                 _read(sf, "documents", ["doc_id", "text"])))
@@ -576,7 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms", "chunk_dedup", "decontaminate",
         "bloom_decontaminate", "group_sample", "inverted_index",
         "kmv_distinct", "mix_sample", "ppm_features", "png_features",
-        "wav_features",
+        "wav_features", "text_embed", "embed_knn",
         "media_features", "media_resize", "media_frames",
         # high-value distributed ops:
         "exact_dedup", "dedup_keepers", "jaccard_sample",
@@ -584,7 +590,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute", "knn_lsh", "knn_ivf", "embedding_near_dups",
         "asof_join", "range_join", "grouped_topk", "running_totals",
         "cms_heavy_hitters", "value_quantiles", "sessionize",
-        "ranked_docs", "outer_join_orders",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -637,6 +642,8 @@ def oracle_sql() -> dict[str, str]:
         "ppm_features": media.PPM_FEATURES_SQL,
         "png_features": media.PNG_FEATURES_SQL,
         "wav_features": media.WAV_FEATURES_SQL,
+        "text_embed": simsearch.TEXT_EMBED_SQL,
+        "embed_knn": simsearch.EMBED_KNN_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

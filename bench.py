@@ -154,6 +154,8 @@ def run_bench() -> dict:
         "ppm_features",
         "png_features",
         "wav_features",
+        "text_embed",
+        "embed_knn",
         "media_features",
         "media_resize",
         "media_frames",

@@ -602,3 +602,147 @@ def knn_ivf(
         return g
 
     return partials.groupby("q_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Batched "model inference": text -> embedding column.
+#
+# The training-data pipeline stage Ray Data models as an ACTOR POOL —
+# weights load once per actor in __init__, batches embed vectorized in
+# __call__.  The stand-in "model" is a deterministic md5 featurizer
+# (16 bytes -> 16 floats in [0, 1]); a real deployment replaces exactly
+# the __init__/_embed pair with a tokenizer + forward pass.  md5 keeps
+# every downstream value SQL-replayable, the same trick as the media
+# stubs and bloom_decontaminate.
+
+HASH_EMBED_DIM = 16
+
+
+class HashEmbedder:
+    """Actor-pool text-embedding stage (the batched-inference contract)."""
+
+    def __init__(self, dim: int = HASH_EMBED_DIM):
+        # model load happens HERE, once per actor (the md5 featurizer
+        # needs no weights; a real encoder would read a checkpoint)
+        import hashlib
+
+        self.dim = dim
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if texts:
+            mat = np.frombuffer(
+                b"".join(self._md5(t.encode("utf-8")).digest()
+                         for t in texts),
+                dtype=np.uint8,
+            ).reshape(len(texts), 16)[:, :self.dim].astype(np.float64) / 255.0
+            embs = pa.array(list(mat), pa.list_(pa.float64()))
+        else:
+            embs = pa.array([], pa.list_(pa.float64()))
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "embedding": embs})
+
+
+def embed_texts(ds: ray.data.Dataset, batch_size: int = 128,
+                concurrency=2) -> ray.data.Dataset:
+    """documents(doc_id, text) -> (doc_id, embedding list<double>)."""
+    return ds.map_batches(
+        HashEmbedder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# SQL-comparable projection of the embedding column: first components as
+# scalars plus the norm from EXACT integer byte sums (one sqrt + one
+# division on each side — bit-identical, no rounding required).
+_B = ("('0x' || substr(md5(text), 2*{i}+1, 2))::INT")
+TEXT_EMBED_SQL = f"""
+SELECT doc_id,
+       {_B.format(i=0)} / 255.0 AS emb_0,
+       {_B.format(i=1)} / 255.0 AS emb_1,
+       {_B.format(i=2)} / 255.0 AS emb_2,
+       {_B.format(i=3)} / 255.0 AS emb_3,
+       sqrt(CAST(list_aggregate(
+           [{_B.format(i='i')} * {_B.format(i='i')}
+            for i in generate_series(0, 15)], 'sum') AS DOUBLE)) / 255.0
+         AS norm
+FROM documents
+"""
+
+
+def text_embed_features(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """embed_texts + the SQL-comparable scalar projection."""
+    embedded = embed_texts(docs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if batch.num_rows:
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                batch.num_rows, -1)
+            bytes_i = np.rint(mat * 255.0).astype(np.int64)
+            norm = np.sqrt((bytes_i * bytes_i).sum(axis=1).astype(
+                np.float64)) / 255.0
+        else:
+            mat = np.zeros((0, HASH_EMBED_DIM))
+            norm = np.zeros(0)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "emb_0": pa.array(mat[:, 0], pa.float64()),
+            "emb_1": pa.array(mat[:, 1], pa.float64()),
+            "emb_2": pa.array(mat[:, 2], pa.float64()),
+            "emb_3": pa.array(mat[:, 3], pa.float64()),
+            "norm": pa.array(norm, pa.float64()),
+        })
+
+    return embedded.map_batches(project, batch_format="pyarrow")
+
+
+# Embed -> search, chained: the e2e "inference then ANN" flow a training
+# pipeline runs (query docs = doc_id < DEFAULT_NUM_QUERIES).  The SQL
+# twin recomputes the md5 embeddings inline and reuses the brute-cosine
+# row_number shape of KNN_BRUTE_SQL.
+_EMB_LIST = (f"[{_B.format(i='i')} / 255.0 "
+             "for i in generate_series(0, 15)]")
+EMBED_KNN_SQL = f"""
+WITH e AS (
+  SELECT doc_id AS vec_id, CAST({_EMB_LIST} AS DOUBLE[]) AS embedding
+  FROM documents
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qv
+  FROM e WHERE vec_id < {DEFAULT_NUM_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding), 6) AS score
+  FROM q, e
+  WHERE e.vec_id != q.q_id
+)
+SELECT q_id, vec_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+           AS rank
+  FROM scored
+)
+WHERE rank <= {DEFAULT_K}
+"""
+
+
+def embed_knn(docs: ray.data.Dataset, k: int = DEFAULT_K,
+              num_queries: int = DEFAULT_NUM_QUERIES) -> ray.data.Dataset:
+    """Chained inference + search: embed the documents with the actor
+    pool, then exact cosine top-k over the resulting embedding column
+    (broadcast queries, per-batch partials — knn_brute's scale shape)."""
+    embedded = embed_texts(docs).map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    return knn_brute(embedded, k=k, num_queries=num_queries)
