@@ -601,7 +601,10 @@ class ResizeStub:
 class FrameSampleStub:
     """Actor-pool frame-sampling stage (video/audio): emits N evenly
     spaced frames per item (1:N flat-map shape — one input row becomes
-    several output rows), deterministic fake frames behind the seam."""
+    several output rows).  REAL for PCM WAV payloads: each frame is an
+    actual evenly-spaced window of the samples, re-encoded as a valid
+    WAV clip, timestamped from the true sample rate.  Other containers
+    get deterministic fake frames behind the seam."""
 
     def __init__(self, frames_per_item: int = 4, strict: bool = False):
         self.n = frames_per_item
@@ -612,6 +615,21 @@ class FrameSampleStub:
         for ref, payload in zip(
             batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
         ):
+            wav = try_decode_wav(payload)
+            if wav is not None:
+                # REAL path: slice the actual samples into n windows
+                rate, samples = wav
+                total = len(samples)
+                for i in range(self.n):
+                    lo = i * total // self.n
+                    hi = max((i + 1) * total // self.n, lo)
+                    rows["media_ref"].append(ref)
+                    rows["frame_index"].append(i)
+                    rows["timestamp_ms"].append(int(lo * 1000 // rate))
+                    rows["payload"].append(
+                        encode_wav(np.ascontiguousarray(samples[lo:hi]),
+                                   rate=rate))
+                continue
             if self.strict:
                 raise NotImplementedError(
                     "plug a real demuxer in here (e.g. av / ffmpeg bindings)"

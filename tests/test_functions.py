@@ -1167,6 +1167,34 @@ class TestWavRealCodec:
             assert feat[2] == math.sqrt(int((s * s).sum()) / len(s)) / 32768.0
             np.testing.assert_allclose(feat[4:].sum(), 1.0)
 
+    def test_frame_sampling_is_real_for_wav(self, ray_session):
+        # frames from a PCM payload are ACTUAL sample windows: splicing
+        # the frame payloads back together reproduces the original clip,
+        # and timestamps come from the true sample rate
+        from nmalign_ray.functions.media import (
+            sample_frames,
+            try_decode_wav,
+            wav_media_from_documents,
+        )
+
+        docs = ray_session.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array(range(4), pa.int64())}))
+        src = wav_media_from_documents(docs, n=4).to_pandas()
+        frames = sample_frames(
+            wav_media_from_documents(docs, n=4), frames_per_item=4
+        ).to_pandas()
+        for _, m in src.iterrows():
+            rate, samples = try_decode_wav(m["payload"])
+            mine = frames[frames["media_ref"] == m["media_ref"]].sort_values(
+                "frame_index")
+            assert len(mine) == 4
+            parts = [try_decode_wav(p)[1] for p in mine["payload"]]
+            assert np.array_equal(np.concatenate(parts), samples)
+            total = len(samples)
+            want_ts = [int((i * total // 4) * 1000 // rate)
+                       for i in range(4)]
+            assert list(mine["timestamp_ms"]) == want_ts
+
     def test_strict_flags_kind_contradictions(self):
         from nmalign_ray.functions import media
 
