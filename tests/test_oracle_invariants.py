@@ -114,6 +114,88 @@ class TestDeterministicFamilyClosedForm:
             assert out == expect
 
 
+    def test_dpermuted_swap_resolves_to_glyph_form(self, sf_dir):
+        # the swap must actually happen (two longest input texts traded)
+        # AND the alignment must resolve the crossing so the output per
+        # ref chunk is its own glyph-noised text — the closed form the
+        # flagship oracle's key%10==6 branch relies on
+        from nmalign_ray.corpus import corpus_from_documents, glyph_noise
+        from nmalign_ray.document import process_document
+        from nmalign_ray.schema import EngineConfig
+
+        cfg = EngineConfig()
+        dids, texts = _docs(sf_dir)
+        corp = corpus_from_documents(texts, dids, families=("dpermuted",))
+        swapped = 0
+        for spans, refs in zip(
+            corp["spans"].to_pylist(), corp["ref_spans"].to_pylist()
+        ):
+            in_order = [s["text"] for s in spans]
+            ref_glyph = [glyph_noise(r["text"], None) for r in refs]
+            if in_order != ref_glyph:
+                swapped += 1
+            out, _ = process_document(spans, refs, cfg.align,
+                                      cfg.salt_threshold)
+            expect = [
+                {"kind": "text", "text": g, "media_ref": "",
+                 "offset": r["offset"]}
+                for g, r in zip(ref_glyph, refs)
+            ]
+            assert out == expect
+        assert swapped >= corp.num_rows * 0.9  # the twist is real
+
+    def test_dmedia_dshort_dempty_twists(self, sf_dir):
+        from nmalign_ray.corpus import corpus_from_documents, glyph_noise
+        from nmalign_ray.document import process_document
+        from nmalign_ray.schema import EngineConfig
+
+        cfg = EngineConfig()
+        dids, texts = _docs(sf_dir)
+        # dmedia: glyph rows + one media marker row per document
+        corp = corpus_from_documents(texts, dids, families=("dmedia",))
+        for did, spans, refs in zip(
+            corp["doc_id"].to_pylist(), corp["spans"].to_pylist(),
+            corp["ref_spans"].to_pylist()
+        ):
+            out, _ = process_document(spans, refs, cfg.align,
+                                      cfg.salt_threshold)
+            media_rows = [o for o in out if o["media_ref"]]
+            assert media_rows == [{
+                "kind": "image", "text": "",
+                "media_ref": f"media://{did}/0",
+                "offset": len(refs) - 1}]
+            texts_out = [o["text"] for o in out if not o["media_ref"]]
+            assert texts_out == [glyph_noise(r["text"], None)
+                                 for r in refs if r["kind"] == "text"]
+        # dshort: the counterpart-less short ref is omitted; dempty: the
+        # whitespace input span is filtered — both reduce to glyph rows
+        for fam, extra_side in (("dshort", "ref"), ("dempty", "input")):
+            corp = corpus_from_documents(texts, dids, families=(fam,))
+            for spans, refs in zip(
+                corp["spans"].to_pylist(), corp["ref_spans"].to_pylist()
+            ):
+                if extra_side == "ref":
+                    assert refs[-1]["text"] == "N."
+                    text_refs = refs[:-1]
+                else:
+                    assert spans[-1]["text"].strip() == ""
+                    text_refs = refs
+                out, metrics = process_document(spans, refs, cfg.align,
+                                                cfg.salt_threshold)
+                expect = [
+                    {"kind": "text", "text": glyph_noise(r["text"], None),
+                     "media_ref": "", "offset": r["offset"]}
+                    for r in text_refs
+                ]
+                assert out == expect
+                if extra_side == "ref":
+                    # the counterpart-less short ref stays unmatched
+                    assert metrics["matched"] == metrics["total"] - 1
+                # (the dempty whitespace span is dropped by the classify
+                # filter BEFORE alignment, so it is not an unmatched
+                # candidate — its absence from `out` is the check)
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_minhash_banding_recall_is_exact(sf_dir):
     """Every ground-truth Jaccard >= 0.6 pair collides in at least one
