@@ -165,11 +165,15 @@ def _sized_config(corpus):
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     n_tasks = max(1, math.ceil(corpus.count() / cfg.align_batch_size))
-    # the min(..., cpus - 1) clamp never reserves the whole cluster for
-    # the pool — a full-width pool starves read/shuffle tasks and the
-    # streaming executor deadlocks (see pipelines.extract.resolve_concurrency)
+    # >= 8 batches per actor: back-to-back sweep queries each spin a
+    # fresh pool, and narrower pools churn less between queries (A/B over
+    # the 11 family queries at sf0.01: ~25 s vs ~29 s at 4 batches/actor;
+    # corpus-scale runs still widen to cpus-2).  The min(..., cpus - 1)
+    # clamp never reserves the whole cluster for the pool — a full-width
+    # pool starves read/shuffle tasks and the streaming executor
+    # deadlocks (see pipelines.extract.resolve_concurrency).
     return EngineConfig(
-        align_concurrency=min(max(2, min(cpus - 2, -(-n_tasks // 4))),
+        align_concurrency=min(max(2, min(cpus - 2, -(-n_tasks // 8))),
                               max(1, cpus - 1)))
 
 
