@@ -146,37 +146,6 @@ def _flagship(sf_dir: str):
     return ray.data.read_parquet(out_dir)
 
 
-def _sized_config(corpus):
-    """EngineConfig with the aligner actor pool sized to the WORK: the
-    derived corpus is a cached parquet read, so ``count()`` is
-    metadata-only.  A fixed cpus-2 pool is right for corpus-scale runs
-    (autoscaling ramps too slowly there) but costs ~3 s of actor startup
-    per query at driver-sweep scale (500 docs = 32 tiny batches), which
-    dominated the sweep and truncated CORRECTNESS_r03 at 50 of 66 rows —
-    so give each actor >= 4 batches before widening toward cpus-2."""
-    import math
-
-    import ray
-
-    from nmalign_ray.schema import EngineConfig
-
-    cfg = EngineConfig()
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_tasks = max(1, math.ceil(corpus.count() / cfg.align_batch_size))
-    # >= 8 batches per actor: back-to-back sweep queries each spin a
-    # fresh pool, and narrower pools churn less between queries (A/B over
-    # the 11 family queries at sf0.01: ~25 s vs ~29 s at 4 batches/actor;
-    # corpus-scale runs still widen to cpus-2).  The min(..., cpus - 1)
-    # clamp never reserves the whole cluster for the pool — a full-width
-    # pool starves read/shuffle tasks and the streaming executor
-    # deadlocks (see pipelines.extract.resolve_concurrency).
-    return EngineConfig(
-        align_concurrency=min(max(2, min(cpus - 2, -(-n_tasks // 8))),
-                              max(1, cpus - 1)))
-
-
 def _extract_query(sf_dir: str, families=None):
     """One full extract+align pipeline over a derived family corpus —
     the shared body of every ``extract_align_*`` driver query.
@@ -186,12 +155,16 @@ def _extract_query(sf_dir: str, families=None):
     per-block local reassembly (output-identical here: every derived doc
     is one unsalted chunk row, so no document spans blocks — A/B'd
     value-equal at sf0.01, 2.2x faster), which keeps the driver's
-    12-query correctness sweep inside its budget."""
+    12-query correctness sweep inside its budget.  Alignment runs in the
+    default TASK form (EngineConfig.align_mode): per-query actor pools
+    cost ~3 s startup each at sweep scale and churn-stalled back-to-back
+    pipelines (round-4 A/B in stages/aligner.py)."""
     from nmalign_ray.pipelines import build_extract_pipeline
+    from nmalign_ray.schema import EngineConfig
 
     corpus = derived_corpus(sf_dir, families=families)
     return build_extract_pipeline(
-        corpus, _sized_config(corpus),
+        corpus, EngineConfig(),
         reassemble="shuffle" if families is None else "local")
 
 

@@ -36,8 +36,8 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..schema import EngineConfig, OUTPUT_SCHEMA
-from ..stages import AlignChunks, extract_and_salt
-from .extract import resolve_concurrency
+from ..stages import extract_and_salt
+from .extract import apply_align_stage
 from ..stages.reassemble import reassemble_group
 
 
@@ -189,14 +189,7 @@ def run_checkpointed(
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
-    aligned = chunks.map_batches(
-        AlignChunks,
-        fn_constructor_kwargs={"config": cfg.align},
-        batch_format="pyarrow",
-        batch_size=cfg.align_batch_size,
-        concurrency=resolve_concurrency(cfg),
-        num_cpus=1,
-    ).map_batches(
+    aligned = apply_align_stage(chunks, cfg).map_batches(
         partial(_add_pid, num_partitions=num_partitions),
         batch_format="pyarrow",
     )

@@ -43,6 +43,35 @@ def resolve_concurrency(cfg: EngineConfig):
     return min(max(2, cpus - 2), max(1, cpus - 1))
 
 
+def apply_align_stage(chunks: ray.data.Dataset,
+                      cfg: EngineConfig) -> ray.data.Dataset:
+    """Attach the alignment stage in the configured physical form.
+
+    Default = TASKS (``align_chunks_batch``): the stage's only state is
+    the process-cached regex program, so tasks get warm-once for free
+    and skip the pool's CPU reservation + actor startup/churn (A/B at
+    sf0.1/32cpu: headline 13.7-14.4 s vs 16.3-23.3 s; see
+    stages/aligner.py).  ``align_mode='actors'`` or an explicit
+    ``align_concurrency`` selects the actor pool — the right form when
+    per-worker setup is genuinely heavy (model weights, big indexes)."""
+    from ..stages import align_chunks_batch
+
+    if cfg.align_mode == "actors" or cfg.align_concurrency is not None:
+        return chunks.map_batches(
+            AlignChunks,
+            fn_constructor_kwargs={"config": cfg.align},
+            batch_format="pyarrow",
+            batch_size=cfg.align_batch_size,
+            concurrency=resolve_concurrency(cfg),
+            num_cpus=1,
+        )
+    return chunks.map_batches(
+        partial(align_chunks_batch, config=cfg.align),
+        batch_format="pyarrow",
+        batch_size=cfg.align_batch_size,
+    )
+
+
 def build_extract_pipeline(
     ds: ray.data.Dataset,
     config: EngineConfig | None = None,
@@ -76,14 +105,7 @@ def build_extract_pipeline(
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
-    aligned = chunks.map_batches(
-        AlignChunks,
-        fn_constructor_kwargs={"config": cfg.align},
-        batch_format="pyarrow",
-        batch_size=cfg.align_batch_size,
-        concurrency=resolve_concurrency(cfg),
-        num_cpus=1,
-    )
+    aligned = apply_align_stage(chunks, cfg)
     if reassemble == "local":
         return aligned.map_batches(
             reassemble_block, batch_format="pyarrow", batch_size=None

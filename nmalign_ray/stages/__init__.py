@@ -12,7 +12,7 @@ All stages are Arrow-in / Arrow-out (``batch_format="pyarrow"``).
 """
 
 from .extract_stage import CHUNK_SCHEMA, extract_and_salt
-from .aligner import ALIGNED_SCHEMA, AlignChunks
+from .aligner import ALIGNED_SCHEMA, AlignChunks, align_chunks_batch
 from .reassemble import reassemble_group
 from .rollup import ROLLUP_SCHEMA, rollup_batch, rollup_documents, rollup_spans
 
@@ -21,6 +21,7 @@ __all__ = [
     "ALIGNED_SCHEMA",
     "extract_and_salt",
     "AlignChunks",
+    "align_chunks_batch",
     "reassemble_group",
     "ROLLUP_SCHEMA",
     "rollup_batch",

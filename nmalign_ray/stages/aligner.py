@@ -1,14 +1,29 @@
-"""Aligner actor-pool stage: chunk rows -> aligned span rows.
+"""Aligner stage: chunk rows -> aligned span rows (tasks or actor pool).
 
-A callable CLASS for ``Dataset.map_batches(AlignChunks, concurrency=N,
-...)``: configuration (normalization program, thresholds) is parsed and
-the regex program compiled ONCE per actor in ``__init__``; ``__call__``
-then runs the per-chunk alignment kernel (``document.align_chunk`` — the
-same function the serial oracle uses, which is what guarantees fixture
-parity).  This is the stateful counterpart of the reference's per-page
-``align.match`` invocation (``/root/reference/nmalign/ocrd/cli.py:227-234``,
-``workers=1`` per page — here each actor is one such worker and the pool
-replaces page-level multiprocessing).
+Two physical forms over the same kernel (``document.align_chunk`` — the
+function the serial oracle uses, which is what guarantees fixture
+parity):
+
+* ``align_chunks_batch`` — the TASK form and the round-4 default.  The
+  stage's only "state" is the compiled regex program, and
+  ``make_preprocessor`` caches compiled patterns per PROCESS; Ray task
+  workers are reused processes, so the warm-once property holds with
+  zero pool semantics.  A/B at sf0.1/32cpu: the checkpointed headline
+  ran 13.7-14.4 s as tasks vs 16.3-23.3 s with a cpus-2 actor pool
+  (pool creation reserves CPUs up front and actor startup/churn
+  dominates; tasks also removed the intermittent 15-20 s stalls between
+  back-to-back pipelines — 10 family queries: 21 s as tasks vs 64-87 s
+  as pools).
+* ``AlignChunks`` — the callable-CLASS form for
+  ``map_batches(AlignChunks, concurrency=N)``, kept for stages whose
+  per-actor setup is genuinely heavy (model checkpoints, large
+  lookups); selected via ``EngineConfig.align_mode='actors'`` or an
+  explicit ``align_concurrency``.
+
+This is the counterpart of the reference's per-page ``align.match``
+invocation (``/root/reference/nmalign/ocrd/cli.py:227-234``,
+``workers=1`` per page — each worker processes one chunk row; Ray task
+scheduling replaces page-level multiprocessing).
 """
 
 from __future__ import annotations
@@ -62,3 +77,9 @@ class AlignChunks:
             rows["score_sum"].append(score_sum)
             rows["unmatched_cands"].append(unmatched)
         return pa.Table.from_pydict(rows, schema=ALIGNED_SCHEMA)
+
+
+def align_chunks_batch(batch: pa.Table, config: AlignConfig | None = None
+                       ) -> pa.Table:
+    """Task-form aligner (the default; see module docstring)."""
+    return AlignChunks(config)(batch)
