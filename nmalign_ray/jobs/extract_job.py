@@ -11,6 +11,9 @@
       "allow_splits": true,
       "salt_threshold": 256,
       "num_partitions": 32,                # omit = auto max(32, cluster CPUs)
+      "align_mode": "tasks",               # or "actors" (heavy per-worker
+                                          #  state; see stages/aligner.py)
+      "align_concurrency": null,           # actors-mode pool size override
       "refs": "/data/refs",               # two-table form: join on doc_id
       "missing_input": "skip",            # or "abort" (reference
                                           #  OCRD_MISSING_INPUT semantics)
@@ -47,6 +50,8 @@ def config_from_json(doc: dict) -> EngineConfig:
         align=align,
         salt_threshold=doc.get("salt_threshold", 256),
         num_partitions=doc.get("num_partitions"),
+        align_mode=doc.get("align_mode", "tasks"),
+        align_concurrency=doc.get("align_concurrency"),
     )
 
 
