@@ -70,6 +70,14 @@ class TestSqlVerified:
 
 
 class TestRowsOnly:
+    def test_no_rows_only_queries_remain(self):
+        # round-4 invariant: EVERY queries() entry has a DuckDB oracle —
+        # the flagship included.  A future non-SQL-expressible operator
+        # may legitimately reintroduce rows-only entries; until then this
+        # asserts the full-oracle surface explicitly instead of leaving a
+        # skipped empty parameterization in the report.
+        assert ROWS_ONLY == []
+
     @pytest.mark.parametrize("name", ROWS_ONLY)
     def test_runs_with_stable_schema(self, name, ray_session):
         result = to_pandas(entrymod.queries()[name](SF_DIR))
