@@ -11,9 +11,11 @@
       "allow_splits": true,
       "salt_threshold": 256,
       "num_partitions": 32,                # omit = auto max(32, cluster CPUs)
-      "align_mode": "tasks",               # or "actors" (heavy per-worker
-                                          #  state; see stages/aligner.py)
-      "align_concurrency": null,           # actors-mode pool size override
+      "align_mode": "tasks",               # omit = auto; "actors" for heavy
+                                          #  per-worker state (aligner.py)
+      "align_concurrency": null,           # actors-mode pool size (selects
+                                          #  actors when set; clamped to
+                                          #  cluster cpus - 1)
       "refs": "/data/refs",               # two-table form: join on doc_id
       "missing_input": "skip",            # or "abort" (reference
                                           #  OCRD_MISSING_INPUT semantics)
@@ -50,7 +52,7 @@ def config_from_json(doc: dict) -> EngineConfig:
         align=align,
         salt_threshold=doc.get("salt_threshold", 256),
         num_partitions=doc.get("num_partitions"),
-        align_mode=doc.get("align_mode", "tasks"),
+        align_mode=doc.get("align_mode"),
         align_concurrency=doc.get("align_concurrency"),
     )
 

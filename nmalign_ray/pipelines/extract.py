@@ -2,7 +2,9 @@
 
     read corpus (parquet)                        [doc_id, spans, ref_spans]
       -> map_batches(extract_and_salt)           stateless: parse cascade + skew salting
-      -> map_batches(AlignChunks, concurrency=N) actor pool: forced alignment per chunk
+      -> map_batches(align_chunks_batch)         forced alignment per chunk
+         (task form by default; AlignChunks actor pool via
+          align_mode="actors" for heavy per-worker state)
       -> groupby(doc_id).map_groups(reassemble)  shuffle: offset-merge + metrics
       -> OUTPUT_SCHEMA rows
 
@@ -23,24 +25,29 @@ from ..stages import AlignChunks, extract_and_salt, reassemble_group
 
 
 def resolve_concurrency(cfg: EngineConfig):
-    """Aligner pool size: explicit config wins; otherwise a FIXED pool of
-    cpus-2 of the current session (headroom for the read / shuffle /
-    sink stages)."""
-    if cfg.align_concurrency is not None:
-        return cfg.align_concurrency
+    """Aligner pool size: explicit config wins (clamped); otherwise a
+    FIXED pool of cpus-2 of the current session (headroom for the read /
+    shuffle / sink stages)."""
     import ray
 
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
+    # never reserve the LAST cpu — not even for an explicit request:
+    # actor pools hold their CPUs for the whole stage, and a pool as
+    # wide as the cluster starves the read/shuffle tasks — the streaming
+    # executor then deadlocks (observed at num_cpus=2 with a 2-actor
+    # pool: init fine, zero progress)
+    cap = max(1, cpus - 1)
+    if cfg.align_concurrency is not None:
+        if isinstance(cfg.align_concurrency, tuple):
+            lo, hi = cfg.align_concurrency
+            return (min(lo, cap), min(hi, cap))
+        return min(cfg.align_concurrency, cap)
     # fixed pool: an autoscaling pool ramps from its floor over the first
     # half of the job and leaves the alignment stage under-parallelized
-    # (measured ~14 effective actors of 30 at sf0.1).  Never reserve the
-    # LAST cpu: actor pools hold their CPUs for the whole stage, and a
-    # pool as wide as the cluster starves the read/shuffle tasks — the
-    # streaming executor then deadlocks (observed at num_cpus=2 with a
-    # 2-actor pool: init fine, zero progress).
-    return min(max(2, cpus - 2), max(1, cpus - 1))
+    # (measured ~14 effective actors of 30 at sf0.1)
+    return min(max(2, cpus - 2), cap)
 
 
 def apply_align_stage(chunks: ray.data.Dataset,
@@ -51,12 +58,25 @@ def apply_align_stage(chunks: ray.data.Dataset,
     the process-cached regex program, so tasks get warm-once for free
     and skip the pool's CPU reservation + actor startup/churn (A/B at
     sf0.1/32cpu: headline 13.7-14.4 s vs 16.3-23.3 s; see
-    stages/aligner.py).  ``align_mode='actors'`` or an explicit
-    ``align_concurrency`` selects the actor pool — the right form when
-    per-worker setup is genuinely heavy (model weights, big indexes)."""
+    stages/aligner.py).  ``align_mode``: None (auto — actors iff an
+    explicit ``align_concurrency`` is set), ``'tasks'``, or
+    ``'actors'`` (the right form when per-worker setup is genuinely
+    heavy: model weights, big indexes).  Contradictory config
+    (``align_mode='tasks'`` plus a pool size) is an error, matching the
+    repo convention for conflicting settings."""
     from ..stages import align_chunks_batch
 
-    if cfg.align_mode == "actors" or cfg.align_concurrency is not None:
+    mode = cfg.align_mode
+    if mode is None:
+        mode = "actors" if cfg.align_concurrency is not None else "tasks"
+    elif mode not in ("tasks", "actors"):
+        raise ValueError(
+            f"align_mode must be 'tasks' or 'actors', got {mode!r}")
+    elif mode == "tasks" and cfg.align_concurrency is not None:
+        raise ValueError(
+            "align_mode='tasks' contradicts an explicit align_concurrency "
+            "(pool size); drop one of the two")
+    if mode == "actors":
         return chunks.map_batches(
             AlignChunks,
             fn_constructor_kwargs={"config": cfg.align},

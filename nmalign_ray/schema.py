@@ -93,13 +93,15 @@ class EngineConfig:
     # Ray COALESCE the input into few tasks and serializes the pool);
     # autoscale the pool up to the node's CPU count
     align_batch_size: int = 16
-    # physical form of the aligner stage: "tasks" (default — the stage's
-    # only state is the process-cached regex program, so Ray task-worker
-    # reuse gives warm-once for free and skips pool reservation/startup/
-    # churn; A/B at sf0.1: headline 13.7-14.4 s vs 16.3-23.3 s as a
-    # pool) or "actors" (for genuinely heavy per-worker setup).  An
-    # explicit align_concurrency also selects the actor pool.
-    align_mode: str = "tasks"
+    # physical form of the aligner stage: None = auto ("actors" iff an
+    # explicit align_concurrency is set, else "tasks"); "tasks" — the
+    # default resolution: the stage's only state is the process-cached
+    # regex program, so Ray task-worker reuse gives warm-once for free
+    # and skips pool reservation/startup/churn (A/B at sf0.1: headline
+    # 13.7-14.4 s vs 16.3-23.3 s as a pool); "actors" — for genuinely
+    # heavy per-worker setup.  "tasks" + an explicit align_concurrency
+    # is a rejected contradiction.
+    align_mode: str | None = None
     # pool sizing for align_mode="actors": None = a FIXED pool of
     # cpus-2 (an autoscaling pool ramps too slowly and leaves the stage
     # under-parallelized for the first half of the job — measured

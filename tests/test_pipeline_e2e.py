@@ -208,3 +208,52 @@ class TestGlyphFamily:
             segs = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
             got = [s["text"] for s in row["spans"]]
             assert got == [glyph_noise(s, None) for s in segs]
+
+
+class TestAlignModes:
+    def test_task_and_actor_forms_agree_span_for_span(
+        self, ray_session, corpus, config, golden
+    ):
+        # the default TASK form must equal both the actor-pool form and
+        # the serial oracle on the full fixture mix (incl. salted skew) —
+        # this is the direct pin on align_chunks_batch, which the
+        # actor-pinned configs elsewhere never exercise
+        tasks_cfg = EngineConfig(salt_threshold=64, align_batch_size=8)
+        out_tasks = build_extract_pipeline(
+            ray_session.data.from_arrow(corpus), tasks_cfg)
+        got = spans_key(pa.concat_tables(
+            [t for t in map(ray_session.get, out_tasks.to_arrow_refs())
+             if t.num_rows]))
+        assert got == spans_key(golden)
+
+    def test_mode_validation(self, ray_session, corpus):
+        ds = ray_session.data.from_arrow(corpus)
+        with pytest.raises(ValueError, match="align_mode must be"):
+            build_extract_pipeline(ds, EngineConfig(align_mode="actor"))
+        with pytest.raises(ValueError, match="contradicts"):
+            build_extract_pipeline(
+                ds, EngineConfig(align_mode="tasks", align_concurrency=4))
+
+    def test_explicit_pool_width_is_clamped(self):
+        # an explicit align_concurrency as wide as the cluster would
+        # deadlock the streaming executor; resolve_concurrency caps it
+        import ray as _ray
+
+        from nmalign_ray.pipelines.extract import resolve_concurrency
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        assert resolve_concurrency(
+            EngineConfig(align_concurrency=cpus + 5)) == cpus - 1
+        lo, hi = resolve_concurrency(
+            EngineConfig(align_concurrency=(2, cpus + 5)))
+        assert hi == cpus - 1 and lo == 2
+
+    def test_explicit_actors_mode_runs(self, ray_session, corpus, golden):
+        out = build_extract_pipeline(
+            ray_session.data.from_arrow(corpus),
+            EngineConfig(salt_threshold=64, align_batch_size=8,
+                         align_mode="actors", align_concurrency=2))
+        got = spans_key(pa.concat_tables(
+            [t for t in map(ray_session.get, out.to_arrow_refs())
+             if t.num_rows]))
+        assert got == spans_key(golden)

@@ -78,13 +78,6 @@ class TestRowsOnly:
         # skipped empty parameterization in the report.
         assert ROWS_ONLY == []
 
-    @pytest.mark.parametrize("name", ROWS_ONLY)
-    def test_runs_with_stable_schema(self, name, ray_session):
-        result = to_pandas(entrymod.queries()[name](SF_DIR))
-        assert len(result) >= 0
-        again = to_pandas(entrymod.queries()[name](SF_DIR))
-        assert list(result.columns) == list(again.columns)
-
 
 class TestEntry:
     def test_entry_runs(self, ray_session):
