@@ -500,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": lambda sf: textstats.kmv_distinct(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "pack_sequences": lambda sf: textstats.pack_sequences(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "mix_sample": lambda sf: textstats.mix_sample(
             _read(sf, "documents", ["doc_id", "text", "source"])
         ),
@@ -559,14 +562,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms", "chunk_dedup", "decontaminate",
         "bloom_decontaminate", "group_sample", "inverted_index",
         "kmv_distinct", "mix_sample", "ppm_features", "png_features",
-        "wav_features", "text_embed", "embed_knn",
+        "wav_features", "text_embed", "embed_knn", "pack_sequences",
         "media_features", "media_resize", "media_frames",
         # high-value distributed ops:
         "exact_dedup", "dedup_keepers", "jaccard_sample",
         "minhash_near_dups", "simhash_near_dups", "dup_groups",
         "knn_brute", "knn_lsh", "knn_ivf", "embedding_near_dups",
         "asof_join", "range_join", "grouped_topk", "running_totals",
-        "cms_heavy_hitters", "value_quantiles", "sessionize",
+        "cms_heavy_hitters", "value_quantiles",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -645,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": textstats.INVERTED_INDEX_SQL,
         "kmv_distinct": textstats.KMV_DISTINCT_SQL,
         "mix_sample": textstats.MIX_SAMPLE_SQL,
+        "pack_sequences": textstats.PACK_SEQUENCES_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

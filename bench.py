@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "inverted_index",
         "kmv_distinct",
         "mix_sample",
+        "pack_sequences",
         "bloom_decontaminate",
         "ranked_docs",
         "outer_join_orders",

@@ -1278,3 +1278,101 @@ def sampled_quantiles(ds: ray.data.Dataset,
         row[name] = int(v[int(np.floor((n - 1) * q))]) if n else None
     return ray.data.from_arrow(pa.Table.from_pydict(
         {k: pa.array([row[k]], pa.int64()) for k in names}))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pretraining batch prep): concatenate documents in a
+# deterministic pseudo-random order — (md5(doc_id), doc_id), the same
+# shuffle mix_sample uses — and assign each document to the fixed-size
+# token bin its START offset falls in (documents are never split; a doc
+# may run past its bin boundary, the standard concat-then-chunk layout).
+# Scale shape: only narrow (doc_id, hkey, n_tokens) rows enter the
+# range-partitioned sort; the exact global prefix sum needs ONE number
+# per block on the driver (per-block token sums -> prefix offsets ->
+# per-block remote cumsum attach — the ranked_docs pattern for
+# order-dependent exact values).  All arithmetic is integer, so the SQL
+# window-cumsum twin is bit-exact by construction.
+# ---------------------------------------------------------------------------
+
+PACK_BIN_TOKENS = 256
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+       CAST((cum_tokens - n_tokens) % {PACK_BIN_TOKENS} AS BIGINT)
+         AS bin_offset
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents WHERE trim(text) <> ''
+  )
+)
+"""
+
+
+def pack_sequences(ds: ray.data.Dataset,
+                   bin_tokens: int = PACK_BIN_TOKENS) -> ray.data.Dataset:
+    """Deterministic sequence packing: (doc_id, n_tokens, cum_tokens,
+    bin_id, bin_offset) over the md5(doc_id) concatenation order."""
+    import ray
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_i, out_h, out_n = [], [], []
+        for i, t in zip(ids, texts):
+            t = t.strip()
+            if not t:
+                continue
+            out_i.append(i)
+            out_h.append(hashlib.md5(str(i).encode()).hexdigest())
+            out_n.append(len(t.split()))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_i, pa.int64()),
+            "hkey": pa.array(out_h, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(narrow, batch_format="pyarrow").sort(
+        ["hkey", "doc_id"])
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _block_sum(tbl: pa.Table) -> int:
+        if tbl.num_rows == 0 or "n_tokens" not in tbl.schema.names:
+            return 0
+        return int(pc.sum(tbl["n_tokens"]).as_py() or 0)
+
+    sums = ray.get([_block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _attach(tbl: pa.Table, offset: int, b: int) -> pa.Table:
+        empty = pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64()),
+            "bin_offset": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or "n_tokens" not in tbl.schema.names:
+            return empty
+        n = tbl["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = offset + np.cumsum(n)
+        prev = cum - n
+        return pa.Table.from_pydict({
+            "doc_id": tbl["doc_id"],
+            "n_tokens": tbl["n_tokens"],
+            "cum_tokens": pa.array(cum, pa.int64()),
+            "bin_id": pa.array(prev // b, pa.int64()),
+            "bin_offset": pa.array(prev % b, pa.int64()),
+        })
+
+    out = [_attach.remote(r, int(o), bin_tokens)
+           for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -814,6 +814,45 @@ class TestValueQuantiles:
         assert out.loc["u-b", "n_events"] == 3
 
 
+class TestPackSequences:
+    def test_partition_invariant_and_brute_exact(self, ray_session):
+        # packing is a function of the GLOBAL md5 order: block/partition
+        # boundaries must not move any document's bin assignment
+        import hashlib
+
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [f"doc {i} " + "w " * (i % 37) for i in range(60)]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(60), pa.int64()),
+             "text": pa.array(texts, pa.string())})
+        a = ts.pack_sequences(
+            ray_session.data.from_arrow(tbl), bin_tokens=50
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = ts.pack_sequences(
+            ray_session.data.from_arrow(tbl).repartition(7), bin_tokens=50
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # brute-force replay of the greedy concat order
+        rows = sorted(
+            ((hashlib.md5(str(i).encode()).hexdigest(), i,
+              len(t.strip().split()))
+             for i, t in enumerate(texts) if t.strip()),
+        )
+        cum = 0
+        want = {}
+        for _, i, n in rows:
+            want[i] = (cum // 50, cum % 50, cum + n)
+            cum += n
+        got = {r.doc_id: (r.bin_id, r.bin_offset, r.cum_tokens)
+               for r in a.itertuples()}
+        assert got == want
+        # bins fill contiguously: every bin id up to the max appears
+        assert set(a["bin_id"]) == set(range(a["bin_id"].max() + 1))
+
+
 class TestVocabBroadcastGate:
     def test_top_terms_gate_raises_loudly(self, ray_session, monkeypatch):
         from nmalign_ray.functions import textstats as ts
