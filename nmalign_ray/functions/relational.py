@@ -875,15 +875,11 @@ FROM documents
 def ranked_docs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Documents totally ordered by (n_chars DESC, doc_id) with their
     exact global 0-based rank."""
+    from .textstats import block_prefix_offsets
+
     sorted_ds = ds.sort(["n_chars", "doc_id"], descending=[True, False])
     refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _count(tbl: pa.Table) -> int:
-        return tbl.num_rows
-
-    counts = ray.get([_count.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    offsets = block_prefix_offsets(refs, lambda tbl: tbl.num_rows)
 
     @ray.remote
     def _with_rank(tbl: pa.Table, offset: int) -> pa.Table:

@@ -970,6 +970,52 @@ def kmv_distinct(ds: ray.data.Dataset, k: int = KMV_K) -> ray.data.Dataset:
 
 MIX_TOKEN_BUDGET = 800
 
+
+def _narrow_token_rows(batch: pa.Table, with_source: bool = False
+                       ) -> pa.Table:
+    """Shared narrow projection for the md5-ordered token operators
+    (mix_sample, pack_sequences): skip empty docs, md5(doc_id) order key,
+    whitespace token count.  ONE definition keeps both operators pinned
+    to the same SQL-oracle tokenization rules."""
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    srcs = batch["source"].to_pylist() if with_source else None
+    cols = {"doc_id": [], "hkey": [], "n_tokens": []}
+    if with_source:
+        cols["source"] = []
+    for k, (i, t) in enumerate(zip(ids, texts)):
+        t = t.strip()
+        if not t:
+            continue
+        cols["doc_id"].append(i)
+        cols["hkey"].append(hashlib.md5(str(i).encode()).hexdigest())
+        cols["n_tokens"].append(len(t.split()))
+        if with_source:
+            cols["source"].append(srcs[k])
+    out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+           "hkey": pa.array(cols["hkey"], pa.string()),
+           "n_tokens": pa.array(cols["n_tokens"], pa.int64())}
+    if with_source:
+        out = {"source": pa.array(cols["source"], pa.string()), **out}
+    return pa.Table.from_pydict(out)
+
+
+def block_prefix_offsets(refs, measure):
+    """Exact global prefix offsets over a SORTED dataset's blocks: run
+    ``measure(table) -> int`` remotely per block (ONE scalar per block
+    reaches the driver) and return the exclusive prefix sums.  The
+    shared scaffold behind every order-dependent exact value in the repo
+    (ranked_docs' row numbers, global_quantiles' index selection,
+    pack_sequences' token offsets)."""
+    import ray
+
+    @ray.remote
+    def _measure(tbl: pa.Table) -> int:
+        return int(measure(tbl))
+
+    vals = ray.get([_measure.remote(r) for r in refs])
+    return np.concatenate([[0], np.cumsum(vals)[:-1]]).astype(np.int64)
+
 MIX_SAMPLE_SQL = f"""
 SELECT source, doc_id, n_tokens, cum_tokens
 FROM (
@@ -993,24 +1039,7 @@ def mix_sample(ds: ray.data.Dataset, budget: int = MIX_TOKEN_BUDGET
     """Token-budgeted per-source document selection (training mix)."""
 
     def narrow(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        out_s, out_i, out_h, out_n = [], [], [], []
-        for s, i, t in zip(srcs, ids, texts):
-            t = t.strip()
-            if not t:
-                continue
-            out_s.append(s)
-            out_i.append(i)
-            out_h.append(hashlib.md5(str(i).encode()).hexdigest())
-            out_n.append(len(t.split()))
-        return pa.Table.from_pydict({
-            "source": pa.array(out_s, pa.string()),
-            "doc_id": pa.array(out_i, pa.int64()),
-            "hkey": pa.array(out_h, pa.string()),
-            "n_tokens": pa.array(out_n, pa.int64()),
-        })
+        return _narrow_token_rows(batch, with_source=True)
 
     def cut(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -1322,35 +1351,14 @@ def pack_sequences(ds: ray.data.Dataset,
     bin_id, bin_offset) over the md5(doc_id) concatenation order."""
     import ray
 
-    def narrow(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        out_i, out_h, out_n = [], [], []
-        for i, t in zip(ids, texts):
-            t = t.strip()
-            if not t:
-                continue
-            out_i.append(i)
-            out_h.append(hashlib.md5(str(i).encode()).hexdigest())
-            out_n.append(len(t.split()))
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(out_i, pa.int64()),
-            "hkey": pa.array(out_h, pa.string()),
-            "n_tokens": pa.array(out_n, pa.int64()),
-        })
-
-    sorted_ds = ds.map_batches(narrow, batch_format="pyarrow").sort(
+    sorted_ds = ds.map_batches(_narrow_token_rows,
+                               batch_format="pyarrow").sort(
         ["hkey", "doc_id"])
     refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def _block_sum(tbl: pa.Table) -> int:
-        if tbl.num_rows == 0 or "n_tokens" not in tbl.schema.names:
-            return 0
-        return int(pc.sum(tbl["n_tokens"]).as_py() or 0)
-
-    sums = ray.get([_block_sum.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    offsets = block_prefix_offsets(
+        refs,
+        lambda tbl: (pc.sum(tbl["n_tokens"]).as_py() or 0)
+        if tbl.num_rows and "n_tokens" in tbl.schema.names else 0)
 
     @ray.remote
     def _attach(tbl: pa.Table, offset: int, b: int) -> pa.Table:
