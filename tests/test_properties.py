@@ -184,3 +184,79 @@ def test_hash_sample_is_deterministic_and_partition_invariant(ids):
     a = [d for d in ids if keep(d)]
     b = [d for d in reversed(ids) if keep(d)]
     assert sorted(a) == sorted(b)  # membership is row-order independent
+
+
+# ---------------------------------------------------------------------------
+# Codec properties: PNG/WAV round-trips on arbitrary pixel/sample data
+# (the deterministic-fixture tests pin the oracle values; these pin the
+# codecs themselves over the full input space).
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2 ** 31 - 1),
+)
+def test_png_roundtrip_arbitrary_pixels(w, h, seed):
+    from nmalign_ray.functions.media import encode_png, try_decode_png
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    got = try_decode_png(encode_png(px))
+    assert got is not None
+    gw, gh, gpx = got
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(gpx, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 3),
+    rate=st.integers(1, 192_000),
+    seed=st.integers(0, 2 ** 31 - 1),
+)
+def test_wav_roundtrip_arbitrary_samples(n, ch, rate, seed):
+    from nmalign_ray.functions.media import encode_wav, try_decode_wav
+
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, (n, ch), dtype=np.int16)
+    got = try_decode_wav(encode_wav(s, rate=rate))
+    assert got is not None
+    grate, gs = got
+    assert grate == rate
+    assert np.array_equal(gs, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_codecs_never_crash_on_arbitrary_bytes(payload):
+    # the decode seam sees untrusted payloads: every sniffer must return
+    # a decode or None — never raise — for arbitrary byte strings
+    from nmalign_ray.functions.media import (
+        try_decode_png,
+        try_decode_ppm,
+        try_decode_wav,
+    )
+
+    for fn in (try_decode_ppm, try_decode_png, try_decode_wav):
+        result = fn(payload)
+        assert result is None or isinstance(result, tuple)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_codecs_never_crash_on_prefixed_garbage(payload):
+    # adversarial-ish: valid magic bytes followed by garbage
+    from nmalign_ray.functions.media import (
+        _PNG_SIG,
+        try_decode_png,
+        try_decode_ppm,
+        try_decode_wav,
+    )
+
+    assert try_decode_png(_PNG_SIG + payload) is None or True
+    try_decode_ppm(b"P6\n" + payload)
+    try_decode_wav(b"RIFF" + payload)
+    try_decode_wav(b"RIFF\x10\x00\x00\x00WAVE" + payload)
