@@ -155,16 +155,18 @@ def _extract_query(sf_dir: str, families=None):
     per-block local reassembly (output-identical here: every derived doc
     is one unsalted chunk row, so no document spans blocks — A/B'd
     value-equal at sf0.01, 2.2x faster), which keeps the driver's
-    12-query correctness sweep inside its budget.  Alignment runs in the
-    default TASK form (EngineConfig.align_mode): per-query actor pools
-    cost ~3 s startup each at sweep scale and churn-stalled back-to-back
-    pipelines (round-4 A/B in stages/aligner.py)."""
+    12-query correctness sweep inside its budget.  Alignment runs in
+    TASK form here: per-query actor pools cost ~3 s startup each at
+    sweep scale and churn-stall back-to-back pipelines (ten sf0.1
+    family queries: 21 s as tasks vs 64-87 s as pools) — while the
+    flagship keeps the actor-pool default that wins long corpus-scale
+    runs (A/B table in stages/aligner.py)."""
     from nmalign_ray.pipelines import build_extract_pipeline
     from nmalign_ray.schema import EngineConfig
 
     corpus = derived_corpus(sf_dir, families=families)
     return build_extract_pipeline(
-        corpus, EngineConfig(),
+        corpus, EngineConfig(align_mode="tasks"),
         reassemble="shuffle" if families is None else "local")
 
 

@@ -54,21 +54,23 @@ def apply_align_stage(chunks: ray.data.Dataset,
                       cfg: EngineConfig) -> ray.data.Dataset:
     """Attach the alignment stage in the configured physical form.
 
-    Default = TASKS (``align_chunks_batch``): the stage's only state is
-    the process-cached regex program, so tasks get warm-once for free
-    and skip the pool's CPU reservation + actor startup/churn (A/B at
-    sf0.1/32cpu: headline 13.7-14.4 s vs 16.3-23.3 s; see
-    stages/aligner.py).  ``align_mode``: None (auto — actors iff an
-    explicit ``align_concurrency`` is set), ``'tasks'``, or
-    ``'actors'`` (the right form when per-worker setup is genuinely
-    heavy: model weights, big indexes).  Contradictory config
-    (``align_mode='tasks'`` plus a pool size) is an error, matching the
-    repo convention for conflicting settings."""
+    Default = ACTORS: a fixed pool PIPELINES against the read/extract
+    and shuffle stages, which wins every long corpus-scale run once the
+    pool startup amortizes (A/B, same session, 20k-100k docs:
+    4 cpus 65-72 s vs 105-115 s as tasks; 8 cpus 29-30 s vs 37-38 s;
+    32 cpus/100k docs 35.2 s vs 47.4 s).  ``align_mode='tasks'`` is the
+    right form for SHORT verification pipelines run back to back — the
+    stage's only state is the process-cached regex program, so tasks get
+    warm-once for free and skip the pool's startup/churn, which
+    dominates small runs (ten sf0.1 family queries: 21 s as tasks vs
+    64-87 s as pools; the driver's sf0.01 sweep shows the same shape).
+    Contradictory config (``align_mode='tasks'`` plus a pool size) is an
+    error, matching the repo convention for conflicting settings."""
     from ..stages import align_chunks_batch
 
     mode = cfg.align_mode
     if mode is None:
-        mode = "actors" if cfg.align_concurrency is not None else "tasks"
+        mode = "actors"
     elif mode not in ("tasks", "actors"):
         raise ValueError(
             f"align_mode must be 'tasks' or 'actors', got {mode!r}")

@@ -93,14 +93,14 @@ class EngineConfig:
     # Ray COALESCE the input into few tasks and serializes the pool);
     # autoscale the pool up to the node's CPU count
     align_batch_size: int = 16
-    # physical form of the aligner stage: None = auto ("actors" iff an
-    # explicit align_concurrency is set, else "tasks"); "tasks" — the
-    # default resolution: the stage's only state is the process-cached
-    # regex program, so Ray task-worker reuse gives warm-once for free
-    # and skips pool reservation/startup/churn (A/B at sf0.1: headline
-    # 13.7-14.4 s vs 16.3-23.3 s as a pool); "actors" — for genuinely
-    # heavy per-worker setup.  "tasks" + an explicit align_concurrency
-    # is a rejected contradiction.
+    # physical form of the aligner stage: None (default) = "actors" — a
+    # fixed pool pipelines against the read/shuffle stages and wins
+    # every LONG corpus-scale run once startup amortizes (A/B 20k-100k
+    # docs: 4cpu 65-72 s vs 105-115 s as tasks, 8cpu 29-30 vs 37-38,
+    # 32cpu/100k 35.2 vs 47.4).  "tasks" = the right form for SHORT
+    # back-to-back verification pipelines, where pool startup/churn
+    # dominates (ten sf0.1 family queries: 21 s vs 64-87 s).  "tasks" +
+    # an explicit align_concurrency is a rejected contradiction.
     align_mode: str | None = None
     # pool sizing for align_mode="actors": None = a FIXED pool of
     # cpus-2 (an autoscaling pool ramps too slowly and leaves the stage

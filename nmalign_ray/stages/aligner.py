@@ -4,21 +4,23 @@ Two physical forms over the same kernel (``document.align_chunk`` — the
 function the serial oracle uses, which is what guarantees fixture
 parity):
 
-* ``align_chunks_batch`` — the TASK form and the round-4 default.  The
-  stage's only "state" is the compiled regex program, and
-  ``make_preprocessor`` caches compiled patterns per PROCESS; Ray task
-  workers are reused processes, so the warm-once property holds with
-  zero pool semantics.  A/B at sf0.1/32cpu: the checkpointed headline
-  ran 13.7-14.4 s as tasks vs 16.3-23.3 s with a cpus-2 actor pool
-  (pool creation reserves CPUs up front and actor startup/churn
-  dominates; tasks also removed the intermittent 15-20 s stalls between
-  back-to-back pipelines — 10 family queries: 21 s as tasks vs 64-87 s
-  as pools).
-* ``AlignChunks`` — the callable-CLASS form for
-  ``map_batches(AlignChunks, concurrency=N)``, kept for stages whose
-  per-actor setup is genuinely heavy (model checkpoints, large
-  lookups); selected via ``EngineConfig.align_mode='actors'`` or an
-  explicit ``align_concurrency``.
+* ``AlignChunks`` — the ACTOR-POOL form and the default
+  (``map_batches(AlignChunks, concurrency=N)``): a fixed pool PIPELINES
+  against the read/extract and shuffle stages, which wins every LONG
+  corpus-scale run once pool startup amortizes.  Same-session A/B over
+  20k-100k docs: 4 cpus 65-72 s (pool) vs 105-115 s (tasks); 8 cpus
+  29-30 vs 37-38; 32 cpus at 100k docs 35.2 vs 47.4.
+* ``align_chunks_batch`` — the TASK form, selected via
+  ``EngineConfig.align_mode='tasks'``: the stage's only "state" is the
+  compiled regex program, and ``make_preprocessor`` caches compiled
+  patterns per PROCESS; Ray task workers are reused processes, so the
+  warm-once property holds with zero pool semantics.  The right form
+  for SHORT verification pipelines run back to back, where pool
+  startup/churn dominates: ten sf0.1 family queries ran 21 s as tasks
+  vs 64-87 s as pools (with intermittent 15-20 s churn stalls), and a
+  30k-doc one-shot headline in a shared session read 13.7-14.4 s vs
+  16.3-23.3 — short-run numbers that INVERT on long runs, which is why
+  the default is the pool.
 
 This is the counterpart of the reference's per-page ``align.match``
 invocation (``/root/reference/nmalign/ocrd/cli.py:227-234``,

@@ -218,7 +218,8 @@ class TestAlignModes:
         # the serial oracle on the full fixture mix (incl. salted skew) —
         # this is the direct pin on align_chunks_batch, which the
         # actor-pinned configs elsewhere never exercise
-        tasks_cfg = EngineConfig(salt_threshold=64, align_batch_size=8)
+        tasks_cfg = EngineConfig(salt_threshold=64, align_batch_size=8,
+                                 align_mode="tasks")
         out_tasks = build_extract_pipeline(
             ray_session.data.from_arrow(corpus), tasks_cfg)
         got = spans_key(pa.concat_tables(
