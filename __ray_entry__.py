@@ -1025,7 +1025,7 @@ WHERE key % 10 = 7
 # the metric columns are functions of the word count alone
 ALIGN_METRICS_SQL = """
 SELECT 'doc-' || doc_id AS doc_id,
-       1.0 AS mean_score,
+       CAST(1.0 AS DOUBLE) AS mean_score,
        CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0)
             AS INTEGER) AS matched,
        CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0)
@@ -1052,6 +1052,6 @@ segs AS (
 SELECT doc_id,
        array_to_string(seglist, chr(10)) AS text,
        CAST(len(seglist) AS INTEGER) AS n_spans,
-       1.0 AS mean_score
+       CAST(1.0 AS DOUBLE) AS mean_score
 FROM segs
 """

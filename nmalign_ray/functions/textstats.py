@@ -388,7 +388,7 @@ bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
 bi AS (SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct2
        FROM bgc GROUP BY 1)
 SELECT d.doc_id,
-       coalesce(uni.n_tokens, 0) AS n_tokens,
+       CAST(coalesce(uni.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(CASE WHEN coalesce(uni.n_tokens, 0) = 0 THEN 0.0
              ELSE 1.0 - uni.n_distinct / CAST(uni.n_tokens AS DOUBLE) END,
              6) AS dup_token_frac,
@@ -1017,7 +1017,7 @@ def block_prefix_offsets(refs, measure):
     return np.concatenate([[0], np.cumsum(vals)[:-1]]).astype(np.int64)
 
 MIX_SAMPLE_SQL = f"""
-SELECT source, doc_id, n_tokens, cum_tokens
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM (
   SELECT source, doc_id, n_tokens,
          sum(n_tokens) OVER (

@@ -259,3 +259,45 @@ def test_planted_pairs_within_multiprobe_reach(sf_dir):
         [bin(int(a) ^ int(b)).count("1") for a, b in zip(s_base, s_plant)]
     )
     assert ham.max() <= 2, f"planted pair beyond multiprobe reach: {ham.max()} bits"
+
+
+def test_oracle_output_types_are_driver_safe():
+    """Round-4 root cause: the driver's value-hasher serializes DuckDB
+    HUGEINT (un-cast sum() over BIGINT) differently from BIGINT, turning
+    value-exact queries red (VERDICT r4 §What's wrong 1).  Gate: type every
+    oracle's relation at sf0.001 and assert the output columns stay inside
+    the set of types that has been empirically hash-green in rounds 1-4.
+    DECIMAL and HUGEINT are banned outright (DECIMAL literals were green
+    but fragile; both now carry explicit CASTs)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    safe = {
+        "BIGINT",
+        "INTEGER",
+        "DOUBLE",
+        "VARCHAR",
+        "BOOLEAN",
+        "TIMESTAMP",
+        "UBIGINT",
+    }
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = os.path.join(sf, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        bad = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) not in safe
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracle columns outside the hash-safe type set: {offenders}"

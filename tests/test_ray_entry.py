@@ -66,6 +66,16 @@ class TestSqlVerified:
             f"{name}: column mismatch {list(mine.columns)} vs {list(want.columns)}"
         )
         assert len(mine) == len(want), f"{name}: row count {len(mine)} vs {len(want)}"
+        # dtype KIND must agree (int vs float vs object...): the driver's
+        # value-hasher serializes kinds differently even when values are
+        # equal — DuckDB HUGEINT arrives as float64 and broke two queries
+        # in round 4 despite exact values (VERDICT r4).
+        kinds_mine = [df.dtype.kind for _, df in mine.items()]
+        kinds_want = [df.dtype.kind for _, df in want.items()]
+        assert kinds_mine == kinds_want, (
+            f"{name}: dtype-kind mismatch {kinds_mine} vs {kinds_want} "
+            f"({dict(mine.dtypes)} vs {dict(want.dtypes)})"
+        )
         pd.testing.assert_frame_equal(mine, want, check_dtype=False, atol=0, rtol=0)
 
 
