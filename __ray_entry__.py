@@ -155,19 +155,23 @@ def _extract_query(sf_dir: str, families=None):
     per-block local reassembly (output-identical here: every derived doc
     is one unsalted chunk row, so no document spans blocks — A/B'd
     value-equal at sf0.01, 2.2x faster), which keeps the driver's
-    12-query correctness sweep inside its budget.  Alignment runs in
-    TASK form here: per-query actor pools cost ~3 s startup each at
-    sweep scale and churn-stall back-to-back pipelines (ten sf0.1
-    family queries: 21 s as tasks vs 64-87 s as pools) — while the
-    flagship keeps the actor-pool default that wins long corpus-scale
-    runs (A/B table in stages/aligner.py)."""
+    12-query correctness sweep inside its budget.  The verification
+    queries also run alignment in TASK form: per-query actor pools cost
+    ~3 s startup each at sweep scale and churn-stall back-to-back
+    pipelines (ten sf0.1 family queries: 21 s as tasks vs 64-87 s as
+    pools) — while the FLAGSHIP keeps the engine's actor-pool default
+    (``EngineConfig()``), the deployment shape that wins long
+    corpus-scale runs (A/B table in stages/aligner.py), so the driver's
+    scale-audited path exercises it."""
     from nmalign_ray.pipelines import build_extract_pipeline
     from nmalign_ray.schema import EngineConfig
 
     corpus = derived_corpus(sf_dir, families=families)
+    if families is None:
+        return build_extract_pipeline(corpus, EngineConfig(),
+                                      reassemble="shuffle")
     return build_extract_pipeline(
-        corpus, EngineConfig(align_mode="tasks"),
-        reassemble="shuffle" if families is None else "local")
+        corpus, EngineConfig(align_mode="tasks"), reassemble="local")
 
 
 def _explode_output(out_ds):
@@ -363,12 +367,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _extract_query(sf_dir, ("identity",))
         return _explode_output(out)
 
+    def extract_align_joined(sf_dir):
+        # O1 two-table form (reference per-page pair join,
+        # /root/reference/nmalign/ocrd/cli.py:48-108): split the identity
+        # corpus into an input-side table (doc_id, spans) and a ref-side
+        # table (doc_id, ref_spans), re-join with join_refs — the
+        # coarse-shard co-group hash join (crc32(doc_id) % cpus*4, one
+        # map_groups task per shard) — then run the standard pipeline.
+        # Output is identical to extract_align_identity, so the identity
+        # SQL doubles as this query's oracle and any join bug (dropped,
+        # duplicated, or cross-wired doc) breaks the hash.
+        from nmalign_ray.pipelines import build_extract_pipeline, join_refs
+        from nmalign_ray.schema import EngineConfig
+
+        corpus = derived_corpus(sf_dir, ("identity",))
+        inputs = corpus.select_columns(["doc_id", "spans"])
+        refs = corpus.select_columns(["doc_id", "ref_spans"])
+        joined = join_refs(inputs, refs)
+        out = build_extract_pipeline(
+            joined, EngineConfig(align_mode="tasks"), reassemble="local")
+        return _explode_output(out)
+
     q = {
         # --- alignment / extraction (non-SQL; rows-only checks) ---
         "extract_align": extract_align,
         "align_metrics": align_metrics,
         "rollup_text": rollup_text,
         "extract_align_identity": extract_align_identity,
+        "extract_align_joined": extract_align_joined,
         "extract_align_glyph": extract_align_glyph,
         "extract_align_ocr": extract_align_ocr,
         "extract_align_trimix": extract_align_trimix,
@@ -552,26 +578,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then windows/joins; the trailing 20 all carry driver-green rows
     # from rounds 1-3 and remain value-checked every run by the in-repo
     # gate replica (tests/test_ray_entry.py), which sweeps ALL entries.
+    # Driver window rotation (round 5): the driver records EXACTLY the
+    # first 50 keys.  This round's 50 = the 13 alignment-core queries
+    # (incl. the new two-table join form) + the two round-4 hash-red
+    # queries proving the HUGEINT fix + the 21 queries with no r4 row
+    # (all r3-green) + 14 high-value dedup/ANN/join re-validations.
+    # The 22 trailing queries all carry hash-green r4 rows and remain
+    # value-checked every run by the in-repo gate replica
+    # (tests/test_ray_entry.py), which sweeps ALL entries.
     priority = [
         "extract_align", "align_metrics", "rollup_text",
-        "extract_align_identity", "extract_align_glyph",
-        "extract_align_ocr", "extract_align_trimix",
+        "extract_align_identity", "extract_align_joined",
+        "extract_align_glyph", "extract_align_ocr", "extract_align_trimix",
         "extract_align_merged", "extract_align_html", "extract_align_pdf",
         "extract_align_mix5", "extract_align_mix6",
-        "normalize_docs",
-        # never driver-recorded before round 4:
-        "top_terms", "hash_sample", "pii_redact", "gopher_signals",
-        "tfidf_top_terms", "chunk_dedup", "decontaminate",
-        "bloom_decontaminate", "group_sample", "inverted_index",
-        "kmv_distinct", "mix_sample", "ppm_features", "png_features",
-        "wav_features", "text_embed", "embed_knn", "pack_sequences",
-        "media_features", "media_resize", "media_frames",
-        # high-value distributed ops:
-        "exact_dedup", "dedup_keepers", "jaccard_sample",
-        "minhash_near_dups", "simhash_near_dups", "dup_groups",
-        "knn_brute", "knn_lsh", "knn_ivf", "embedding_near_dups",
+        # round-4 hash-red (HUGEINT oracle type, values were exact):
+        "gopher_signals", "mix_sample",
+        # no round-4 driver row (r1-r3 green):
+        "token_counts", "quality_scores", "lang_id", "fingerprints",
+        "quality_filter", "pricing_summary", "segment_revenue",
+        "inactive_customers", "top_orders", "nation_revenue",
+        "hourly_events", "sliding_events", "sessionize",
+        "global_quantiles", "sampled_quantiles", "hourly_distinct",
+        "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
+        "outer_join_orders",
+        # high-value dedup/ANN/join re-validations (code touched or
+        # bench-flagged this round):
+        "pack_sequences", "minhash_near_dups", "simhash_near_dups",
+        "dup_groups", "embedding_near_dups", "exact_dedup",
+        "knn_brute", "knn_lsh", "knn_ivf",
         "asof_join", "range_join", "grouped_topk", "running_totals",
-        "cms_heavy_hitters", "value_quantiles",
+        "cms_heavy_hitters",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -585,6 +622,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_align": EXTRACT_ALIGN_SQL,
         "extract_align_identity": EXTRACT_ALIGN_IDENTITY_SQL,
+        # the joined form re-splits and re-joins the identity corpus, so
+        # its expected output is the identity oracle verbatim
+        "extract_align_joined": EXTRACT_ALIGN_IDENTITY_SQL,
         "extract_align_glyph": EXTRACT_ALIGN_GLYPH_SQL,
         "extract_align_ocr": EXTRACT_ALIGN_OCR_SQL,
         "extract_align_trimix": EXTRACT_ALIGN_TRIMIX_SQL,

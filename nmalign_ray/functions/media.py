@@ -604,7 +604,12 @@ class FrameSampleStub:
     several output rows).  REAL for PCM WAV payloads: each frame is an
     actual evenly-spaced window of the samples, re-encoded as a valid
     WAV clip, timestamped from the true sample rate.  Other containers
-    get deterministic fake frames behind the seam."""
+    get deterministic fake frames behind the seam.
+
+    The WAV path is gated on the declared ``kind`` — an image/video-kind
+    payload that happens to sniff as RIFF/WAVE must not be silently
+    frame-sampled as audio — and strict mode applies the same
+    kind-contradiction check as DecodeStub/ResizeStub (round-4 advice)."""
 
     def __init__(self, frames_per_item: int = 4, strict: bool = False):
         self.n = frames_per_item
@@ -612,10 +617,12 @@ class FrameSampleStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {name: [] for name in FRAME_SCHEMA.names}
-        for ref, payload in zip(
-            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        for ref, kind, payload in zip(
+            batch["media_ref"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist()
         ):
-            wav = try_decode_wav(payload)
+            _check_kind_contradiction(payload, kind, self.strict)
+            wav = try_decode_wav(payload) if kind == "audio" else None
             if wav is not None:
                 # REAL path: slice the actual samples into n windows
                 rate, samples = wav

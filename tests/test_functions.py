@@ -192,6 +192,28 @@ class TestMediaResizeAndFrames:
         with _pytest.raises(NotImplementedError):
             media.FrameSampleStub(strict=True)(media.synth_media_table(n=1))
 
+    def test_frame_sampling_gates_wav_on_kind(self):
+        # a payload that sniffs as RIFF/WAVE but is declared image-kind
+        # must NOT be frame-sampled as audio (fake-frame path instead),
+        # and strict mode raises on the contradiction — the same gate
+        # DecodeStub/ResizeStub apply (round-4 advice)
+        import pytest as _pytest
+
+        from nmalign_ray.functions.media import encode_wav, try_decode_wav
+
+        wav = encode_wav(np.arange(800, dtype=np.int16), rate=8000)
+        tbl = pa.Table.from_pydict(
+            {"media_ref": ["media://x/0"], "kind": ["image"],
+             "payload": [wav]},
+            schema=media.MEDIA_SCHEMA,
+        )
+        out = media.FrameSampleStub(frames_per_item=2)(tbl)
+        # fake path: payloads are 32-byte digests, not decodable WAV clips
+        for p in out["payload"].to_pylist():
+            assert try_decode_wav(p) is None
+        with _pytest.raises(ValueError, match="sniffs as audio"):
+            media.FrameSampleStub(frames_per_item=2, strict=True)(tbl)
+
 
 class TestConnectedGroups:
     def test_chain_and_separate_component(self, ray_session):

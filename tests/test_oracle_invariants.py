@@ -301,3 +301,35 @@ def test_oracle_output_types_are_driver_safe():
         if bad:
             offenders[name] = bad
     assert not offenders, f"oracle columns outside the hash-safe type set: {offenders}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_doc_exceeds_salt_threshold(sf_dir):
+    """The family verification queries substitute per-block LOCAL
+    reassembly for the shuffle, which is output-identical ONLY while
+    every derived doc is a single unsalted chunk row (a doc whose
+    candidate-span count exceeds the salt threshold would be split into
+    multiple chunk rows that the aligner's batching can scatter across
+    blocks, fragmenting its output).  Pin that invariant at the
+    driver-judged scale factors instead of leaving it A/B'd-once
+    (round-4 ADVICE item 3)."""
+    from nmalign_ray.corpus import DETERMINISTIC_FAMILIES, corpus_from_documents
+    from nmalign_ray.extract import classify_spans
+
+    SALT_THRESHOLD = 256  # extract_and_salt default
+    ids, texts = _docs(sf_dir)
+    t = corpus_from_documents(texts, ids, families=DETERMINISTIC_FAMILIES)
+    worst = 0
+    for spans in t["spans"].to_pylist():
+        spans = spans or []
+        candidates, _ = classify_spans(
+            [s["kind"] for s in spans],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+            [s["offset"] for s in spans],
+        )
+        worst = max(worst, len(candidates))
+    assert worst < SALT_THRESHOLD, (
+        f"a derived doc has {worst} candidate spans >= salt threshold "
+        f"{SALT_THRESHOLD}: the local-reassembly substitution in "
+        "_extract_query is no longer output-identical at this scale")
