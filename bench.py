@@ -62,6 +62,25 @@ def replicated_corpus(entry, replicas: int):
                             batch_format="pyarrow")
 
 
+def _parse_stage_seconds(stats_text: str) -> dict:
+    """Per-stage wall seconds from ``Dataset.stats()`` text: lines like
+    ``Operator 2 MapBatches(extract_and_salt)->...: 6 tasks executed,
+    6 blocks produced in 1.4s`` / ``Operator 3 Repartition: executed in
+    4.9s``.  Attributable stage times for the headline (round-4 verdict
+    item 8) — all-to-all operators overlap upstream compute, so the sum
+    exceeds wall time; useful for RELATIVE regressions per stage."""
+    import re
+
+    out = {}
+    for m in re.finditer(
+        r"^Operator \d+ (.+?): .*?in ([\d.]+)(m?s)\s*$",
+        stats_text, re.MULTILINE,
+    ):
+        name, val, unit = m.group(1), float(m.group(2)), m.group(3)
+        out[name[:60]] = round(val / 1000.0 if unit == "ms" else val, 2)
+    return out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -97,9 +116,11 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(num_partitions=max(16, NUM_CPUS))
     t0 = time.perf_counter()
-    run_checkpointed(replicated_corpus(entry, REPLICAS), out_dir, cfg)
+    job = run_checkpointed(replicated_corpus(entry, REPLICAS), out_dir, cfg,
+                           collect_stats=True)
     headline = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
+    headline_stages = _parse_stage_seconds(job.get("stats", ""))
 
     queries = {"extract_align_checkpointed": round(headline, 3)}
     q = entry.queries()
@@ -164,6 +185,7 @@ def run_bench() -> dict:
         "quality_filter",
         "dedup_keepers",
         "extract_align_identity",
+        "extract_align_joined",
         "extract_align_glyph",
         "extract_align_ocr",
         "extract_align_trimix",
@@ -208,7 +230,8 @@ def run_bench() -> dict:
     # capture in round 3 ("parsed": null) — emit it on its OWN earlier
     # stdout line and as a sidecar file, and keep the FINAL line to the
     # headline scalars the driver parses.
-    per_query_line = json.dumps({"per_query_sec": queries})
+    per_query_line = json.dumps(
+        {"per_query_sec": queries, "headline_stage_sec": headline_stages})
     print(per_query_line, flush=True)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         # (scaling-leg subprocesses run headline-only and must not

@@ -89,6 +89,7 @@ def match(
     try_subseg: bool = False,
     denylist: frozenset = frozenset(),
     config: AlignConfig | None = None,
+    sim: np.ndarray | None = None,
 ):
     """Force-align string list ``l1`` (reference segmentation, "to be
     replaced") to ``l2`` (replacements).
@@ -114,7 +115,14 @@ def match(
     n1, n2 = len(l1), len(l2)
 
     preprocess = make_preprocessor(normalization)
-    sim = levenshtein_cdist(l1, l2, score_cutoff=cutoff, processor=preprocess)
+    if sim is None:
+        sim = levenshtein_cdist(l1, l2, score_cutoff=cutoff,
+                                processor=preprocess)
+    else:
+        # precomputed by the batched kernel (levenshtein_cdist_many over a
+        # whole actor batch — bit-identical to the line above); copy so the
+        # denylist writes below never alias the caller's array
+        sim = np.array(sim, dtype=np.float32, copy=True)
     for i1, i2 in denylist:
         sim[i1, i2] = -np.inf
 

@@ -68,16 +68,20 @@ def align_chunk(
     cand_kinds: list[str],
     cand_texts: list[str],
     config: AlignConfig,
+    sim=None,
 ):
     """Align one (salt-)chunk of candidates against its reference window.
 
     The unit of work of the Ray aligner actor stage; also the inner loop
     of ``process_document``.  Returns
-    ``(out_spans, matched, score_sum, unmatched_cands)``.
+    ``(out_spans, matched, score_sum, unmatched_cands)``.  ``sim`` is an
+    optional precomputed similarity matrix (the aligner stage batches one
+    ``levenshtein_cdist_many`` call across its whole input batch;
+    bit-identical to the per-chunk computation).
     """
     if not cand_texts or not ref_texts:
         return [], 0, 0.0, len(cand_texts)
-    res, scores = match(ref_texts, cand_texts, config=config)
+    res, scores = match(ref_texts, cand_texts, config=config, sim=sim)
     if config.try_subseg:
         idx, beg, end = res
     else:

@@ -977,26 +977,24 @@ def _narrow_token_rows(batch: pa.Table, with_source: bool = False
     (mix_sample, pack_sequences): skip empty docs, md5(doc_id) order key,
     whitespace token count.  ONE definition keeps both operators pinned
     to the same SQL-oracle tokenization rules."""
-    texts = batch["text"].to_pylist()
-    ids = batch["doc_id"].to_pylist()
-    srcs = batch["source"].to_pylist() if with_source else None
-    cols = {"doc_id": [], "hkey": [], "n_tokens": []}
+    # tokenize vectorized in Arrow (trim -> regex split -> list length:
+    # the oracle's len(regexp_split_to_array(trim(text),'\s+')) exactly);
+    # the md5 per doc_id stays a Python loop — it IS the determinism
+    # contract, and it runs over the narrow non-empty ids only
+    trimmed = pc.utf8_trim_whitespace(
+        batch["text"].combine_chunks().cast(pa.string()))
+    keep = pc.not_equal(trimmed, "")
+    n_tokens = pc.list_value_length(
+        pc.split_pattern_regex(trimmed.filter(keep), r"\s+")).cast(pa.int64())
+    ids = batch["doc_id"].combine_chunks().filter(keep)
+    out = {"doc_id": ids.cast(pa.int64()),
+           "hkey": pa.array(
+               [hashlib.md5(str(i).encode()).hexdigest()
+                for i in ids.to_pylist()], pa.string()),
+           "n_tokens": n_tokens}
     if with_source:
-        cols["source"] = []
-    for k, (i, t) in enumerate(zip(ids, texts)):
-        t = t.strip()
-        if not t:
-            continue
-        cols["doc_id"].append(i)
-        cols["hkey"].append(hashlib.md5(str(i).encode()).hexdigest())
-        cols["n_tokens"].append(len(t.split()))
-        if with_source:
-            cols["source"].append(srcs[k])
-    out = {"doc_id": pa.array(cols["doc_id"], pa.int64()),
-           "hkey": pa.array(cols["hkey"], pa.string()),
-           "n_tokens": pa.array(cols["n_tokens"], pa.int64())}
-    if with_source:
-        out = {"source": pa.array(cols["source"], pa.string()), **out}
+        out = {"source": batch["source"].combine_chunks().filter(keep)
+               .cast(pa.string()), **out}
     return pa.Table.from_pydict(out)
 
 
@@ -1186,8 +1184,14 @@ def cms_heavy_hitters(ds: ray.data.Dataset, depth: int = CMS_DEPTH,
             {"term": pa.array(list(counts.keys()), pa.string()),
              "cnt": pa.array(list(counts.values()), pa.int64())})
 
+    # materialize ONCE: the vocab is consumed twice below (distributed
+    # sketch partials + the gated driver cut), and a lazy Dataset re-runs
+    # the tokenize map AND the groupby shuffle per consumer — measured as
+    # the whole r3->r4 "regression" on this query (two executions, 2.2-4.8 s
+    # vs 1.4 s).  The pinned blocks are vocabulary-sized (the aggregate's
+    # own output), never corpus-sized.
     vocab = ds.map_batches(term_partial, batch_format="pyarrow").groupby(
-        "term").aggregate(Sum("cnt", alias_name="cnt"))
+        "term").aggregate(Sum("cnt", alias_name="cnt")).materialize()
 
     def cell_partial(batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()

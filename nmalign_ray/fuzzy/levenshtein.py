@@ -100,6 +100,171 @@ def levenshtein_cdist(
     return sim
 
 
+def levenshtein_cdist_many(jobs, score_cutoff=None, processor=None):
+    """Batched ``levenshtein_cdist`` across MANY (l1, l2) jobs at once —
+    returns ``[cdist(l1, l2), ...]`` bit-identically (distances are exact
+    integers and the normalization applies the same scalar float ops
+    elementwise), but with the per-step numpy-call overhead amortized
+    over every pair of every job.
+
+    Motivation (round-5 profile): the per-document matrices are tiny
+    (3x3..12x12, strings ~40-60 chars), so the per-job kernels are bound
+    by numpy CALL overhead, not compute — ~55% of the serial aligner.
+    Batching one actor batch's documents into a single pair-table pass
+    cuts that overhead by the batch width.
+
+    Implementation: one flat pair table over a shared string pool.  Each
+    pair advances Myers' bit-vector DP (needle = the SHORTER side —
+    Levenshtein is symmetric — so one uint64 word covers needles <= 63
+    chars for nearly every real segment) lock-step over haystack
+    positions, all pairs at once on (P,) arrays.  Pairs whose BOTH sides
+    exceed 63 chars fall back to the padded row-DP per job (rare).
+    """
+    if processor is not None:
+        jobs = [
+            ([processor(s) for s in l1], [processor(s) for s in l2])
+            for l1, l2 in jobs
+        ]
+    pool: list[np.ndarray] = []
+    a_ids: list[np.ndarray] = []
+    b_ids: list[np.ndarray] = []
+    for l1, l2 in jobs:
+        a = np.arange(len(pool), len(pool) + len(l1), dtype=np.int64)
+        pool.extend(encode_list(l1))
+        b = np.arange(len(pool), len(pool) + len(l2), dtype=np.int64)
+        pool.extend(encode_list(l2))
+        a_ids.append(a)
+        b_ids.append(b)
+    pool_len = np.fromiter((len(c) for c in pool), dtype=np.int64,
+                           count=len(pool))
+
+    outs = [np.empty((len(a), len(b)), dtype=np.float32)
+            for a, b in zip(a_ids, b_ids)]
+    parts_a, parts_b, parts_job, parts_i, parts_j = [], [], [], [], []
+    for d, (a, b) in enumerate(zip(a_ids, b_ids)):
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            continue
+        gi = np.repeat(np.arange(n, dtype=np.int64), m)
+        gj = np.tile(np.arange(m, dtype=np.int64), n)
+        parts_a.append(a[gi])
+        parts_b.append(b[gj])
+        parts_i.append(gi)
+        parts_j.append(gj)
+        parts_job.append(np.full(n * m, d, dtype=np.int64))
+    if not parts_a:
+        return outs
+    pair_a = np.concatenate(parts_a)
+    pair_b = np.concatenate(parts_b)
+    pair_job = np.concatenate(parts_job)
+    pair_i = np.concatenate(parts_i)
+    pair_j = np.concatenate(parts_j)
+    la = pool_len[pair_a]
+    lb = pool_len[pair_b]
+
+    dist = np.empty(len(pair_a), dtype=np.int64)
+    za = la == 0
+    zb = lb == 0
+    dist[za] = lb[za]
+    dist[zb] = la[zb]  # both-empty pairs end at 0 either way
+    nontriv = ~(za | zb)
+    needle = np.where(la <= lb, pair_a, pair_b)
+    hay = np.where(la <= lb, pair_b, pair_a)
+    nlen = np.minimum(la, lb)
+    myers = nontriv & (nlen <= 63)
+    rest = nontriv & ~myers
+    if myers.any():
+        dist[myers] = _myers_pairs(pool, needle[myers], hay[myers], pool_len)
+    if rest.any():
+        # both sides > 63 chars: padded row-DP per job on just the
+        # involved rows/columns (exact, same ints)
+        for d in np.unique(pair_job[rest]).tolist():
+            sel = rest & (pair_job == d)
+            ua = np.unique(pair_a[sel])
+            ub = np.unique(pair_b[sel])
+            a_mat, a_len = pad_matrix([pool[i] for i in ua.tolist()], PAD_A)
+            b_mat, b_len = pad_matrix([pool[i] for i in ub.tolist()], PAD_B)
+            sub = _cdist_block(a_mat, a_len, b_mat, b_len)
+            ra = np.searchsorted(ua, pair_a[sel])
+            rb = np.searchsorted(ub, pair_b[sel])
+            dist[sel] = sub[ra, rb]
+
+    denom = np.maximum(la, lb)
+    frac = dist / np.maximum(denom, 1)
+    sim = np.where(denom > 0, 1.0 - frac, 1.0).astype(np.float32)
+    if score_cutoff is not None and score_cutoff > 0:
+        sim[sim < score_cutoff] = 0.0
+    for d in range(len(jobs)):
+        sel = pair_job == d
+        if sel.any():
+            outs[d][pair_i[sel], pair_j[sel]] = sim[sel]
+    return outs
+
+
+def _myers_pairs(pool: list[np.ndarray], n_ids: np.ndarray,
+                 h_ids: np.ndarray, pool_len: np.ndarray) -> np.ndarray:
+    """Myers 1999 bit-vector edit distance over an explicit PAIR LIST:
+    pair p advances needle ``pool[n_ids[p]]`` against haystack
+    ``pool[h_ids[p]]``; every step is ~a dozen uint64 ops on (P,)
+    arrays.  Exact for needle lengths 1..63 (brute-DP fuzzed in tests;
+    ``_cdist_myers`` is the all-pairs-of-one-matrix sibling)."""
+    ones = np.uint64(1)
+    un, n_inv = np.unique(n_ids, return_inverse=True)
+    uh, h_inv = np.unique(h_ids, return_inverse=True)
+    hay_mat, hay_len_u = pad_matrix([pool[i] for i in uh.tolist()], PAD_B)
+    nh, l2max = hay_mat.shape
+    uniq, inv = np.unique(hay_mat, return_inverse=True)
+    k = len(uniq) + 1
+    idx_mat = (inv.reshape(nh, l2max) + 1).astype(np.int64)
+
+    # vectorized peq build: one bitwise_or.at over every needle char
+    nn = len(un)
+    lens = pool_len[un]
+    peq = np.zeros((nn, k), dtype=np.uint64)
+    if int(lens.sum()):
+        cat = np.concatenate([pool[i] for i in un.tolist()])
+        rows = np.repeat(np.arange(nn, dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(cat), dtype=np.int64) - np.repeat(starts, lens)
+        col = np.searchsorted(uniq, cat)
+        col_c = np.minimum(col, len(uniq) - 1)
+        found = uniq[col_c] == cat
+        col = np.where(found, col_c + 1, 0)
+        np.bitwise_or.at(
+            peq, (rows, col), ones << pos.astype(np.uint64))
+        peq[:, 0] = np.uint64(0)  # chars absent from every haystack
+    peq_flat = peq.ravel()
+
+    p = len(n_ids)
+    nlen = pool_len[n_ids].astype(np.uint64)
+    full = (ones << nlen) - ones
+    high = ones << (nlen - ones)
+    pv = full.copy()
+    mv = np.zeros(p, dtype=np.uint64)
+    score = pool_len[n_ids].astype(np.int64).copy()
+    out = np.empty(p, dtype=np.int64)
+    hlen = hay_len_u[h_inv]
+    if (hlen == 0).any():
+        out[hlen == 0] = score[hlen == 0]
+    base = n_inv.astype(np.int64) * k
+    for t in range(int(hlen.max(initial=0))):
+        eq = peq_flat[base + idx_mat[h_inv, t]]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score += ((ph & high) != 0).astype(np.int64)
+        score -= ((mh & high) != 0).astype(np.int64)
+        ph = ((ph << ones) | ones) & full
+        mh = (mh << ones) & full
+        pv = (mh | ~(xv | ph)) & full
+        mv = ph & xv
+        finished = hlen == t + 1
+        if finished.any():
+            out[finished] = score[finished]
+    return out
+
+
 def _cdist_myers(
     needles: list[np.ndarray], b_mat: np.ndarray, b_len: np.ndarray
 ) -> np.ndarray:

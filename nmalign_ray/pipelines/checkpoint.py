@@ -171,10 +171,13 @@ def run_checkpointed(
     corpus: ray.data.Dataset,
     out_dir: str,
     config: EngineConfig | None = None,
+    collect_stats: bool = False,
 ) -> dict:
     """Run the extraction pipeline with a checkpointed sink; returns a job
     summary.  Safe to re-invoke after a crash: completed partitions are
-    skipped before the heavy stages."""
+    skipped before the heavy stages.  With ``collect_stats`` the summary
+    carries the executed plan's ``Dataset.stats()`` text under ``"stats"``
+    (bench.py parses it into per-stage seconds)."""
     cfg = config if config is not None else EngineConfig()
     num_partitions = resolve_num_partitions(out_dir, cfg)
     done = frozenset(completed_partitions(out_dir))
@@ -198,18 +201,20 @@ def run_checkpointed(
     # upstream block counts the extra all-to-all is pure overhead
     # (A/B measured 16.2/18.8 s with vs 15.3/17.4 s without at 30k docs)
     # and the groupby's own num_partitions bounds the shuffle width.
-    summary = (
-        aligned.groupby("pid", num_partitions=num_partitions)
-        .map_groups(partial(_write_partition, out_dir=out_dir), batch_format="pyarrow")
-        .to_pandas()
+    result_ds = aligned.groupby("pid", num_partitions=num_partitions).map_groups(
+        partial(_write_partition, out_dir=out_dir), batch_format="pyarrow"
     )
-    return {
+    summary = result_ds.to_pandas()
+    out = {
         "partitions_written": int(summary.shape[0]),
         "partitions_skipped": len(done),
         "num_docs": int(summary["num_docs"].sum()) if len(summary) else 0,
         "matched": int(summary["matched"].sum()) if len(summary) else 0,
         "total": int(summary["total"].sum()) if len(summary) else 0,
     }
+    if collect_stats:
+        out["stats"] = result_ds.stats()
+    return out
 
 
 def read_output(out_dir: str) -> pa.Table:

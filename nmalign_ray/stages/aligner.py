@@ -34,6 +34,7 @@ import pyarrow as pa
 
 from ..align.core import AlignConfig, make_preprocessor
 from ..document import align_chunk
+from ..fuzzy.levenshtein import levenshtein_cdist_many
 from ..schema import SPAN_TYPE
 
 ALIGNED_SCHEMA = pa.schema(
@@ -65,10 +66,29 @@ class AlignChunks:
         ref_texts = batch["ref_text"].to_pylist()
         ref_offsets = batch["ref_offset"].to_pylist()
         media = batch["media"].to_pylist()
+        # ONE batched similarity pass across every chunk in the batch: the
+        # per-document matrices are tiny and numpy-call-overhead-bound, so
+        # batching them amortizes ~55% of the aligner CPU (round-5
+        # profile).  Bit-identical to the per-chunk path (integer
+        # distances, same elementwise normalization) — pinned by
+        # tests/test_fuzzy.py and the family hash oracles.
+        jobs = []
+        job_of_row = []
+        for k in range(batch.num_rows):
+            if ref_texts[k] and cand_texts[k]:
+                job_of_row.append(len(jobs))
+                jobs.append((ref_texts[k], cand_texts[k]))
+            else:
+                job_of_row.append(-1)
+        sims = levenshtein_cdist_many(
+            jobs, score_cutoff=self.config.cutoff,
+            processor=make_preprocessor(self.config.normalization),
+        ) if jobs else []
         for k in range(batch.num_rows):
             out, matched, score_sum, unmatched = align_chunk(
                 ref_texts[k], ref_offsets[k], cand_kinds[k], cand_texts[k],
                 self.config,
+                sim=sims[job_of_row[k]] if job_of_row[k] >= 0 else None,
             )
             rows["doc_id"].append(doc_ids[k])
             rows["salt"].append(salts[k])
