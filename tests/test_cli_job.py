@@ -121,3 +121,23 @@ class TestCliFilelist:
         rows = [l.split("\t") for l in r.stdout.strip().splitlines()]
         assert rows[0][0] == rows[0][1] == files[0]
         assert rows[1][2] == "1.00"
+
+
+def test_parse_stage_seconds():
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    import bench
+
+    text = (
+        "Operator 1 ReadParquet: 16 tasks executed, 16 blocks produced in 1.7s\n"
+        "* Remote wall time: 4.44ms min\n"
+        "Operator 3 Repartition: executed in 4.9s\n"
+        "Operator 9 VeryLongName" + "x" * 80 + ": executed in 250ms\n"
+    )
+    got = bench._parse_stage_seconds(text)
+    assert got["ReadParquet"] == 1.7
+    assert got["Repartition"] == 4.9
+    long_key = [k for k in got if k.startswith("VeryLongName")][0]
+    assert len(long_key) <= 60 and got[long_key] == 0.25
+    assert bench._parse_stage_seconds("") == {}

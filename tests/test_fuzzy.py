@@ -173,3 +173,59 @@ class TestShortestPath:
         w = np.full((2, 2), np.inf)
         dist, pred = shortest_path_from0(w)
         assert pred[1] == -9999
+
+
+class TestCdistMany:
+    """levenshtein_cdist_many must equal per-job levenshtein_cdist
+    BITWISE — it is substituted under every aligner batch, and the family
+    hash oracles assume the substitution is invisible."""
+
+    def _rstr(self, rng, maxlen):
+        return "".join(
+            rng.choice("abcdefgh ſäöü⸗") for _ in range(rng.randint(0, maxlen)))
+
+    def test_matches_per_job_bitwise(self):
+        from nmalign_ray.fuzzy.levenshtein import (
+            levenshtein_cdist,
+            levenshtein_cdist_many,
+        )
+
+        rng = random.Random(7)
+        for trial in range(60):
+            jobs = []
+            for _ in range(rng.randint(0, 6)):
+                n, m = rng.randint(0, 9), rng.randint(0, 9)
+                # 70/120 exercise the both-sides->row-DP fallback;
+                # 5/30 stay in the paired-Myers word
+                maxlen = rng.choice([5, 30, 70, 120])
+                jobs.append((
+                    [self._rstr(rng, maxlen) for _ in range(n)],
+                    [self._rstr(rng, maxlen) for _ in range(m)],
+                ))
+            cutoff = rng.choice([None, 0.0, 0.4, 0.7])
+            batched = levenshtein_cdist_many(jobs, score_cutoff=cutoff)
+            assert len(batched) == len(jobs)
+            for d, (l1, l2) in enumerate(jobs):
+                assert batched[d].shape == (len(l1), len(l2))
+                assert batched[d].dtype == np.float32
+                if len(l1) and len(l2):
+                    single = levenshtein_cdist(l1, l2, score_cutoff=cutoff)
+                    assert np.array_equal(batched[d], single), (trial, d)
+
+    def test_processor_applied_per_string(self):
+        from nmalign_ray.fuzzy.levenshtein import (
+            levenshtein_cdist,
+            levenshtein_cdist_many,
+        )
+
+        jobs = [(["ABC", "zz"], ["abc", "zZ "])]
+        batched = levenshtein_cdist_many(jobs, processor=str.lower)
+        single = levenshtein_cdist(*jobs[0], processor=str.lower)
+        assert np.array_equal(batched[0], single)
+
+    def test_empty_jobs_and_sides(self):
+        from nmalign_ray.fuzzy.levenshtein import levenshtein_cdist_many
+
+        outs = levenshtein_cdist_many([([], ["a"]), (["b"], []), ([], [])])
+        assert [o.shape for o in outs] == [(0, 1), (1, 0), (0, 0)]
+        assert levenshtein_cdist_many([]) == []
