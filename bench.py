@@ -225,6 +225,21 @@ def run_bench() -> dict:
             process_document(s, r, cfg.align, cfg.salt_threshold)
         serial_docs_per_sec = round(sample.num_rows / (time.perf_counter() - t0), 1)
 
+        # second anchor, same 300 docs, same single process: the engine's
+        # batch-wide similarity kernel (levenshtein_cdist_many across 16-doc
+        # batches — what each Ray task/actor actually runs).  The gap over
+        # the per-doc anchor is the round-5 kernel-batching win.
+        from nmalign_ray.stages import extract_and_salt
+        from nmalign_ray.stages.aligner import AlignChunks
+
+        chunk_tbl = extract_and_salt(sample, salt_threshold=cfg.salt_threshold)
+        aligner = AlignChunks(cfg.align)
+        t0 = time.perf_counter()
+        for lo in range(0, chunk_tbl.num_rows, 16):
+            aligner(chunk_tbl.slice(lo, 16))
+        serial_batched_docs_per_sec = round(
+            sample.num_rows / (time.perf_counter() - t0), 1)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     # The full per-query map (66 entries) outgrew the driver's ~2 KB tail
     # capture in round 3 ("parsed": null) — emit it on its OWN earlier
@@ -264,6 +279,7 @@ def run_bench() -> dict:
     }
     if serial_docs_per_sec is not None:
         out["serial_oracle_docs_per_sec"] = serial_docs_per_sec
+        out["serial_batched_docs_per_sec"] = serial_batched_docs_per_sec
         out["speedup_vs_serial"] = round(out["docs_per_sec"] / serial_docs_per_sec, 2)
     ray.shutdown()
 
