@@ -31,8 +31,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..fuzzy import levenshtein_cdist, partial_ratio_alignment
-from ..fuzzy.partial import partial_ratio_cdist
+from ..fuzzy import levenshtein_cdist
+from ..fuzzy.partial import partial_ratio_alignment_many
 from .graph import shortest_path_from0
 
 # Tuning thresholds, identical to the reference module constants
@@ -135,23 +135,23 @@ def match(
     # priority weighting by RAW l2 segment length (align.py:75-78)
     len2_row = np.fromiter((len(s) for s in l2), dtype=np.int64, count=n2)
 
-    all1 = np.arange(n1)
-    all2 = np.arange(n2)
     for _ in range(n1):
-        view = sim[np.ix_(alive1, alive2)]
-        if not view.size:
+        idx1 = np.flatnonzero(alive1)
+        idx2 = np.flatnonzero(alive2)
+        if not (len(idx1) and len(idx2)):
             break
-        mono = _monotonicity_mask(n1, n2, alive1, out_idx)[np.ix_(alive1, alive2)]
+        view = sim[idx1[:, None], idx2]
+        mono = _monotonicity_mask(n1, n2, alive1, out_idx)[idx1[:, None], idx2]
         # sigmoid attenuation in the fraction of l1 already assigned
         assigned_frac = 1.0 - mono.shape[0] / n1
         cov = 0.5 / (1.0 + np.exp(5.0 * (0.5 - assigned_frac)))
-        priority = (view + cov * mono) * len2_row[alive2][None, :]
+        priority = (view + cov * mono) * len2_row[idx2][None, :]
         vi, vj = np.unravel_index(np.argmax(priority, axis=None), priority.shape)
         col_scores = view[:, vj]  # candidate screen input for subseg
-        col_rows = all1[alive1]
+        col_rows = idx1
         score = view[vi, vj]
-        i1 = int(all1[alive1][vi])
-        i2 = int(all2[alive2][vj])
+        i1 = int(idx1[vi])
+        i2 = int(idx2[vj])
         seg1, seg2 = l1[i1], l2[i2]
 
         subseg = []
@@ -248,10 +248,17 @@ def match_subseg(
     else:
         cand_strs = [l1[r] for r in cand_rows]
         seg2_proc = seg2
-    # screen 2: fast windowed local-alignment overview
-    pr = partial_ratio_cdist(
-        cand_strs, [seg2_proc], score_cutoff=partial_min, processor=None
-    )
+    # screen 2: fast windowed local-alignment overview.  ONE batched
+    # window pass over every candidate (partial_ratio_alignment_many);
+    # the alignments double as the exact stage below — the scalar form
+    # recomputed the identical search per survivor
+    sas = partial_ratio_alignment_many([(c, seg2_proc) for c in cand_strs])
+    scores64 = np.array([sa.score for sa in sas], dtype=np.float64)
+    # cdist score_cutoff semantics: the cutoff compares the float64 score,
+    # the matrix stores float32 (fuzzy/partial.py::partial_ratio_cdist)
+    pr = np.where(scores64 >= partial_min, scores64, 0.0).astype(
+        np.float32
+    ).reshape(-1, 1)
     if np.count_nonzero(pr >= partial_min) < 2:
         return []
 
@@ -269,7 +276,7 @@ def match_subseg(
     # edge with cost (1 - score/100) * window length (align.py:196-211)
     for k in np.nonzero(pr[:, 0] >= partial_min)[0]:
         row = int(cand_rows[k])
-        sa = partial_ratio_alignment(cand_strs[k], seg2_proc, processor=None)
+        sa = sas[int(k)]
         # clamp both ends to the RAW segment length (align.py:208 clamps
         # only dest_end; dest positions index the PROCESSED string, and a
         # lengthening normalization — e.g. NFKC '…' -> '...' — can push
