@@ -229,3 +229,48 @@ class TestCdistMany:
         outs = levenshtein_cdist_many([([], ["a"]), (["b"], []), ([], [])])
         assert [o.shape for o in outs] == [(0, 1), (1, 0), (0, 0)]
         assert levenshtein_cdist_many([]) == []
+
+
+class TestPartialRatioMany:
+    """The batched window search must be pair-for-pair identical to the
+    scalar form — the merged-family hash oracle rides on these windows."""
+
+    @staticmethod
+    def _assert_same(pairs):
+        from nmalign_ray.fuzzy.partial import partial_ratio_alignment_many
+
+        batched = partial_ratio_alignment_many(pairs)
+        for (a, b), m in zip(pairs, batched):
+            s = partial_ratio_alignment(a, b)
+            assert (
+                s.score, s.src_start, s.src_end, s.dest_start, s.dest_end
+            ) == (
+                m.score, m.src_start, m.src_end, m.dest_start, m.dest_end
+            ), (a, b)
+
+    def test_fuzz_matches_scalar(self):
+        rng = random.Random(42)
+        alph = "ab cdef"
+        pairs = []
+        for _ in range(400):
+            la = rng.choice([0, 3, 10, 40, 80, 120])
+            lb = rng.choice([0, 3, 10, 40, 80, 120])
+            pairs.append((
+                "".join(rng.choice(alph) for _ in range(rng.randrange(0, la + 1))),
+                "".join(rng.choice(alph) for _ in range(rng.randrange(0, lb + 1))),
+            ))
+        self._assert_same(pairs)
+
+    def test_equal_length_retry_and_fallback_classes(self):
+        rng = random.Random(7)
+        alph = "abc "
+        pairs = []
+        # equal lengths exercise the symmetric retry; >63 needles the DP fallback
+        for n in (1, 2, 5, 17, 63, 64, 90):
+            for _ in range(10):
+                pairs.append((
+                    "".join(rng.choice(alph) for _ in range(n)),
+                    "".join(rng.choice(alph) for _ in range(n)),
+                ))
+        pairs += [("", ""), ("", "abc"), ("abc", ""), ("a" * 70, "a" * 5)]
+        self._assert_same(pairs)
