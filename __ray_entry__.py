@@ -570,14 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # The driver's correctness sweep records the FIRST 50 queries()
     # entries only (hard positional cap, diagnosed from CORRECTNESS_r03:
-    # exactly the first 50 dict keys have rows).  70 > 50, so the dict
-    # is ordered to ROTATE hard external coverage across rounds: the
-    # flagship + family oracles stay first (the core semantics), then
-    # every query that has never had a driver row (the 16 round-3
-    # additions plus the round-4 png/wav/embed queries), then dedup/ANN,
-    # then windows/joins; the trailing 20 all carry driver-green rows
-    # from rounds 1-3 and remain value-checked every run by the in-repo
-    # gate replica (tests/test_ray_entry.py), which sweeps ALL entries.
+    # exactly the first 50 dict keys have rows), so the dict is ordered
+    # to ROTATE external coverage across rounds; the query -> recorded
+    # rounds mapping lives in COVERAGE.md ("Driver-row mapping").
     # Driver window rotation (round 5): the driver records EXACTLY the
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red

@@ -72,12 +72,18 @@ def _parse_stage_seconds(stats_text: str) -> dict:
     import re
 
     out = {}
+    scale = {"s": 1.0, "ms": 1e-3, "us": 1e-6}
     for m in re.finditer(
-        r"^Operator \d+ (.+?): .*?in ([\d.]+)(m?s)\s*$",
+        r"^Operator (\d+) (.+?): .*?in ([\d.]+)(u?m?s)\s*$",
         stats_text, re.MULTILINE,
     ):
-        name, val, unit = m.group(1), float(m.group(2)), m.group(3)
-        out[name[:60]] = round(val / 1000.0 if unit == "ms" else val, 2)
+        num, name, val, unit = m.groups()
+        key = name[:60]
+        if key != name:
+            # truncation can collide two long fused-operator names; the
+            # operator index keeps both entries
+            key = f"{num}:{key}"
+        out[key] = round(float(val) * scale[unit], 2)
     return out
 
 

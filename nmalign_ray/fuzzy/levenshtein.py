@@ -178,8 +178,12 @@ def levenshtein_cdist_many(jobs, score_cutoff=None, processor=None):
     if rest.any():
         # both sides > 63 chars: padded row-DP per job on just the
         # involved rows/columns (exact, same ints)
-        for d in np.unique(pair_job[rest]).tolist():
-            sel = rest & (pair_job == d)
+        ridx = np.flatnonzero(rest)
+        rjobs = pair_job[ridx]  # ascending: pair_job is sorted
+        uniq_jobs, first = np.unique(rjobs, return_index=True)
+        splits = np.append(first, len(ridx))
+        for t in range(len(uniq_jobs)):
+            sel = ridx[splits[t]:splits[t + 1]]
             ua = np.unique(pair_a[sel])
             ub = np.unique(pair_b[sel])
             a_mat, a_len = pad_matrix([pool[i] for i in ua.tolist()], PAD_A)
@@ -194,10 +198,15 @@ def levenshtein_cdist_many(jobs, score_cutoff=None, processor=None):
     sim = np.where(denom > 0, 1.0 - frac, 1.0).astype(np.float32)
     if score_cutoff is not None and score_cutoff > 0:
         sim[sim < score_cutoff] = 0.0
+    # pair_job is sorted by construction (jobs were concatenated in order),
+    # so each job's pairs are one contiguous slice — no per-job full-table
+    # boolean scan (that would re-introduce the O(jobs x pairs) overhead
+    # this function exists to amortize)
+    bounds = np.searchsorted(pair_job, np.arange(len(jobs) + 1))
     for d in range(len(jobs)):
-        sel = pair_job == d
-        if sel.any():
-            outs[d][pair_i[sel], pair_j[sel]] = sim[sel]
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        if hi > lo:
+            outs[d][pair_i[lo:hi], pair_j[lo:hi]] = sim[lo:hi]
     return outs
 
 

@@ -226,6 +226,10 @@ def _search_many(jobs) -> list[ScoreAlignment]:
     l1w = np.concatenate(l1w_parts)
     lens = gends - gstarts
 
+    # Hyyrö LCS update — the global-batch twin of
+    # indel._indel_windows_bitparallel (and the ratio formula of
+    # indel_ratio_windows): change BOTH or the window scores diverge;
+    # TestPartialRatioMany fuzzes the two forms against each other
     v = fullw.copy()
     for t in range(int(lens.max(initial=0))):
         pos = gstarts + t

@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import zlib
 from functools import partial
 
 import pyarrow as pa
@@ -35,14 +34,14 @@ import pyarrow.compute  # noqa: F401  (pa.compute used below; not auto-imported)
 import pyarrow.parquet as pq
 import ray.data
 
-from ..schema import EngineConfig, OUTPUT_SCHEMA
+from ..schema import EngineConfig, OUTPUT_SCHEMA, crc32_shard
 from ..stages import extract_and_salt
 from .extract import apply_align_stage
 from ..stages.reassemble import reassemble_group
 
 
 def doc_partition(doc_id: str, num_partitions: int) -> int:
-    return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+    return crc32_shard(doc_id, num_partitions)
 
 
 def resolve_num_partitions(out_dir: str, cfg: EngineConfig) -> int:

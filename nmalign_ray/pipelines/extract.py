@@ -2,9 +2,9 @@
 
     read corpus (parquet)                        [doc_id, spans, ref_spans]
       -> map_batches(extract_and_salt)           stateless: parse cascade + skew salting
-      -> map_batches(align_chunks_batch)         forced alignment per chunk
-         (task form by default; AlignChunks actor pool via
-          align_mode="actors" for heavy per-worker state)
+      -> map_batches(AlignChunks, concurrency=N) forced alignment per chunk
+         (actor pool by default — wins long corpus-scale runs; task form
+          via align_mode="tasks" for short back-to-back pipelines)
       -> groupby(doc_id).map_groups(reassemble)  shuffle: offset-merge + metrics
       -> OUTPUT_SCHEMA rows
 
@@ -178,7 +178,7 @@ class MissingInputError(ValueError):
 def join_refs(
     inputs: ray.data.Dataset,
     refs: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     missing: str = "skip",
     on_duplicate: str = "raise",
 ) -> ray.data.Dataset:
@@ -211,12 +211,10 @@ def join_refs(
     and surfaces on consumption as a task error wrapping the typed
     exception.
     """
-    import zlib
-
     import numpy as np
     import pyarrow as pa
 
-    from ..schema import CORPUS_SCHEMA
+    from ..schema import CORPUS_SCHEMA, crc32_shard
 
     if missing not in ("skip", "abort"):
         raise ValueError(f"missing must be 'skip' or 'abort', got {missing!r}")
@@ -229,13 +227,12 @@ def join_refs(
     cpus = 8
     if _ray.is_initialized():
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-    # process-stable shard key: python hash() varies per worker process
-    # (PYTHONHASHSEED), crc32 does not
     nshards = max(32, cpus * 4)
 
     def _shard_col(doc_ids: pa.ChunkedArray) -> pa.Array:
+        # schema.crc32_shard: THE shared process-stable doc→shard key
         return pa.array(
-            [zlib.crc32(str(d).encode()) % nshards for d in doc_ids.to_pylist()],
+            [crc32_shard(d, nshards) for d in doc_ids.to_pylist()],
             type=pa.int32(),
         )
 
@@ -317,6 +314,11 @@ def join_refs(
     tagged = inputs.map_batches(tag_input, batch_format="pyarrow").union(
         refs.map_batches(tag_ref, batch_format="pyarrow")
     )
+    # map_groups parallelism is bounded by the shuffle's num_partitions,
+    # not the shard-key cardinality — default to one partition per cpu
+    # (each holds ~4 shard keys) so the merge uses the whole cluster;
+    # an explicit value is honored unchanged
+    resolved = num_partitions if num_partitions else min(nshards, max(16, cpus))
     return tagged.groupby(
-        "shard", num_partitions=min(num_partitions or nshards, 64)
+        "shard", num_partitions=resolved
     ).map_groups(merge_shard, batch_format="pyarrow")

@@ -60,6 +60,17 @@ OUTPUT_SCHEMA = pa.schema(
 TEXT_KINDS = ("text", "html", "pdf")
 MEDIA_KINDS = ("image", "audio", "video")
 
+
+def crc32_shard(doc_id: str, num_shards: int) -> int:
+    """THE deterministic doc→shard key, shared by every stage that
+    co-locates by document (checkpoint partitions, the pair-join shards).
+    crc32, not python ``hash()``: stable across worker processes
+    (PYTHONHASHSEED), runs and machines — checkpoint resume depends on it
+    never changing."""
+    import zlib
+
+    return zlib.crc32(str(doc_id).encode("utf-8")) % num_shards
+
 # The reference test-suite's historical-orthography normalization map
 # (shape of /root/reference/tests/test_all.py:16-26), the engine default.
 DEFAULT_NORMALIZATION = {

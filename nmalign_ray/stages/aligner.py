@@ -103,5 +103,6 @@ class AlignChunks:
 
 def align_chunks_batch(batch: pa.Table, config: AlignConfig | None = None
                        ) -> pa.Table:
-    """Task-form aligner (the default; see module docstring)."""
+    """Task-form aligner (``align_mode='tasks'``; the engine default is
+    the AlignChunks actor pool — see module docstring)."""
     return AlignChunks(config)(batch)

@@ -133,11 +133,18 @@ def test_parse_stage_seconds():
         "Operator 1 ReadParquet: 16 tasks executed, 16 blocks produced in 1.7s\n"
         "* Remote wall time: 4.44ms min\n"
         "Operator 3 Repartition: executed in 4.9s\n"
+        "Operator 8 TinyStage: executed in 875us\n"
         "Operator 9 VeryLongName" + "x" * 80 + ": executed in 250ms\n"
+        "Operator 10 VeryLongName" + "x" * 80 + "y: executed in 2.0s\n"
     )
     got = bench._parse_stage_seconds(text)
     assert got["ReadParquet"] == 1.7
     assert got["Repartition"] == 4.9
-    long_key = [k for k in got if k.startswith("VeryLongName")][0]
-    assert len(long_key) <= 60 and got[long_key] == 0.25
+    assert got["TinyStage"] == 0.0  # microsecond stages parse, round to 0
+    # truncated long names get an operator-index prefix so two fused
+    # chains sharing a 60-char prefix cannot collide into one key
+    long_keys = sorted(k for k in got if "VeryLongName" in k)
+    assert long_keys == ["10:" + "VeryLongName" + "x" * 48,
+                         "9:" + "VeryLongName" + "x" * 48]
+    assert got[long_keys[1]] == 0.25 and got[long_keys[0]] == 2.0
     assert bench._parse_stage_seconds("") == {}

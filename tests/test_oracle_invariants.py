@@ -315,8 +315,9 @@ def test_no_doc_exceeds_salt_threshold(sf_dir):
     (round-4 ADVICE item 3)."""
     from nmalign_ray.corpus import DETERMINISTIC_FAMILIES, corpus_from_documents
     from nmalign_ray.extract import classify_spans
+    from nmalign_ray.schema import EngineConfig
 
-    SALT_THRESHOLD = 256  # extract_and_salt default
+    SALT_THRESHOLD = EngineConfig().salt_threshold  # guard the LIVE default
     ids, texts = _docs(sf_dir)
     t = corpus_from_documents(texts, ids, families=DETERMINISTIC_FAMILIES)
     worst = 0
