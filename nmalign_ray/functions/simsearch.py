@@ -364,7 +364,17 @@ def embedding_near_dups(
     is emitted into its own signature bucket AND every 1-bit-flip
     neighbor bucket, so any pair within signature Hamming distance 2
     shares a bucket; pairwise exact cosine inside each bucket, then a
-    pair-key groupby dedupes multi-bucket collisions."""
+    pair-key dedupe drops multi-bucket collisions.
+
+    Both exchanges shuffle on COARSE shard keys (``sig % nshards`` /
+    ``(vec_a + vec_b) % nshards``) with the buckets / pair keys walked
+    inside the shard task — never one Ray group per signature or per
+    pair (per-group dispatch is cardinality-scaled; the round-3 minhash
+    lesson, ``dedup._shard_bucket_pairs``)."""
+    from .dedup import MAX_LSH_BUCKET, _oversize_bucket, _shard_width
+
+    nshards = _shard_width()
+
     def sig_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -381,52 +391,83 @@ def embedding_near_dups(
         take = pa.array(idx, pa.int64())
         return pa.Table.from_pydict(
             {"sig": pa.array(out_sig, pa.int64()),
+             "shard": pa.array((out_sig % nshards).astype(np.int32),
+                               pa.int32()),
              "vec_id": pc.take(batch["vec_id"].combine_chunks(), take),
              "embedding": pc.take(batch["embedding"].combine_chunks(), take)}
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        from .dedup import MAX_LSH_BUCKET
-
-        empty = pa.Table.from_pydict(
-            {"vec_a": pa.array([], pa.int64()),
-             "vec_b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
-        )
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        if len(ids) > MAX_LSH_BUCKET:  # see dedup._bucket_pairs rationale;
-            # at corpus scale raise NUM_PLANES so buckets stay bounded
-            from .dedup import _oversize_bucket
-
-            _oversize_bucket(len(ids), MAX_LSH_BUCKET, "embedding LSH",
-                             on_truncate)
-            return empty
-        if len(ids) < 2:
-            return empty
-        emb = _normalize_rows(_stack_embeddings(group))
-        order = np.argsort(ids)
-        emb, ids = emb[order], ids[order]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = ids[iu] != ids[ju]
-        iu, ju = iu[keep], ju[keep]
-        # per-pair einsum, NOT a gemm: its fixed per-row accumulation
-        # order makes the score identical no matter which probe bucket a
-        # pair lands in, so the downstream dedupe can keep any row
-        # without reintroducing block-order nondeterminism
-        scores = np.einsum("ij,ij->i", emb[iu], emb[ju])
-        m = scores >= threshold
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        """Pair emission for ONE coarse shard: slice its rows into exact
+        sig buckets (one argsort) and score each bucket — the per-bucket
+        work of the old per-sig map_groups without per-group dispatch."""
+        sigs = group["sig"].to_numpy(zero_copy_only=False)
+        ids_all = group["vec_id"].to_numpy(zero_copy_only=False)
+        emb_all = _normalize_rows(_stack_embeddings(group))
+        order = np.argsort(sigs, kind="stable")
+        sigs_s, ids_s, emb_s = sigs[order], ids_all[order], emb_all[order]
+        bounds = np.flatnonzero(
+            np.r_[True, sigs_s[1:] != sigs_s[:-1], True])
+        va, vb, cs = [], [], []
+        for t in range(len(bounds) - 1):
+            lo, hi = int(bounds[t]), int(bounds[t + 1])
+            if hi - lo < 2:
+                continue
+            ids = ids_s[lo:hi]
+            if len(ids) > MAX_LSH_BUCKET:  # see dedup._bucket_pairs
+                # rationale; at corpus scale raise NUM_PLANES so buckets
+                # stay bounded
+                _oversize_bucket(len(ids), MAX_LSH_BUCKET, "embedding LSH",
+                                 on_truncate)
+                continue
+            sub = np.argsort(ids)
+            ids2, emb2 = ids[sub], emb_s[lo:hi][sub]
+            iu, ju = np.triu_indices(len(ids2), k=1)
+            keep = ids2[iu] != ids2[ju]
+            iu, ju = iu[keep], ju[keep]
+            # per-pair einsum, NOT a gemm: its fixed per-row accumulation
+            # order makes the score identical no matter which probe
+            # bucket a pair lands in, so the downstream dedupe can keep
+            # any row without reintroducing block-order nondeterminism
+            scores = np.einsum("ij,ij->i", emb2[iu], emb2[ju])
+            m = scores >= threshold
+            va.append(ids2[iu[m]])
+            vb.append(ids2[ju[m]])
+            cs.append(scores[m])
+        a = np.concatenate(va) if va else np.empty(0, np.int64)
+        b = np.concatenate(vb) if vb else np.empty(0, np.int64)
+        c = np.concatenate(cs) if cs else np.empty(0, np.float64)
         return pa.Table.from_pydict(
-            {"vec_a": pa.array(ids[iu[m]], pa.int64()),
-             "vec_b": pa.array(ids[ju[m]], pa.int64()),
-             "cosine": pa.array(round6(scores[m]), pa.float64())}
+            {"vec_a": pa.array(a, pa.int64()),
+             "vec_b": pa.array(b, pa.int64()),
+             "cosine": pa.array(round6(c), pa.float64()),
+             "pshard": pa.array(((a + b) % nshards).astype(np.int32),
+                                pa.int32())}
+        )
+
+    def dedupe_shard(group: pa.Table) -> pa.Table:
+        # every duplicate of a pair carries the identical einsum score,
+        # so keeping the first occurrence of each (vec_a, vec_b) is
+        # value-exact
+        a = group["vec_a"].to_numpy(zero_copy_only=False)
+        b = group["vec_b"].to_numpy(zero_copy_only=False)
+        comp = np.stack([a, b], axis=1)
+        _, first = np.unique(comp, axis=0, return_index=True)
+        take = pa.array(np.sort(first), pa.int64())
+        g = group.combine_chunks()
+        return pa.Table.from_pydict(
+            {"vec_a": g["vec_a"].take(take),
+             "vec_b": g["vec_b"].take(take),
+             "cosine": g["cosine"].take(take)}
         )
 
     pairs = ds.map_batches(sig_rows, batch_format="pyarrow").groupby(
-        "sig"
-    ).map_groups(bucket_pairs, batch_format="pyarrow")
-    # a pair can collide in several probe buckets: keep one row
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+        "shard", num_partitions=min(nshards, 64)
+    ).map_groups(shard_pairs, batch_format="pyarrow")
+    # a pair can collide in several probe buckets (possibly in different
+    # shards): one more coarse-shard exchange keyed on the pair
+    return pairs.groupby("pshard", num_partitions=min(nshards, 64)).map_groups(
+        dedupe_shard, batch_format="pyarrow"
     )
 
 
