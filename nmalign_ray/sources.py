@@ -146,9 +146,10 @@ def read_flat_corpus(
 
     Real corpora are often exported flat (CSV has no nested types):
     columns ``doc_id, side ('input'|'ref'), kind, text, media_ref,
-    offset``.  Documents are assembled with ONE hash shuffle on
-    ``doc_id`` (``groupby().map_groups`` — the same exchange the
-    reassembly stage uses), then conformed to the canonical schema.
+    offset``.  Documents are assembled with ONE hash shuffle on a COARSE
+    shard key (``crc32(doc_id) % (cpus*4)``; documents walked inside the
+    shard task — never one Ray group per doc_id, whose dispatch cost is
+    corpus-cardinality-scaled), then conformed to the canonical schema.
     CSV nulls (empty strings) are restored to ``""``."""
     kwargs = {}
     if override_num_blocks is not None:
@@ -161,32 +162,50 @@ def read_flat_corpus(
         raise ValueError(f"unknown flat-corpus format {format!r}")
     expected = _expected(with_refs)
 
-    def assemble(group: pa.Table) -> pa.Table:
-        doc_id = str(group["doc_id"][0].as_py())
-        sides = [str(s) for s in group["side"].to_pylist()]
-        kinds = group["kind"].to_pylist()
-        texts = group["text"].to_pylist()
-        refs = group["media_ref"].to_pylist()
-        offs = group["offset"].to_pylist()
-        rows = sorted(
-            zip(sides, kinds, texts, refs, offs),
-            key=lambda r: (int(r[4]), r[0]))
-        spans = [
-            {"kind": k or "", "text": t or "", "media_ref": m or "",
-             "offset": int(o)}
-            for s, k, t, m, o in rows if s == "input"
-        ]
-        ref_spans = [
-            {"kind": k or "", "text": t or "", "media_ref": m or "",
-             "offset": int(o)}
-            for s, k, t, m, o in rows if s == "ref"
-        ]
-        cols = {"doc_id": [doc_id], "spans": [spans]}
-        if with_refs:
-            cols["ref_spans"] = [ref_spans]
-        return pa.Table.from_pydict(cols, schema=expected)
+    from .schema import crc32_shard
 
-    return ds.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    nshards = max(32, cpus * 4)
+
+    def tag_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard",
+            pa.array([crc32_shard(d, nshards)
+                      for d in batch["doc_id"].to_pylist()], pa.int32()),
+        )
+
+    def assemble_shard(group: pa.Table) -> pa.Table:
+        by_doc: dict[str, list] = {}
+        for did, s, k, t, m, o in zip(
+            group["doc_id"].to_pylist(), group["side"].to_pylist(),
+            group["kind"].to_pylist(), group["text"].to_pylist(),
+            group["media_ref"].to_pylist(), group["offset"].to_pylist(),
+        ):
+            by_doc.setdefault(str(did), []).append((str(s), k, t, m, o))
+        out = {"doc_id": [], "spans": []}
+        if with_refs:
+            out["ref_spans"] = []
+        for doc_id in sorted(by_doc):
+            rows = sorted(by_doc[doc_id], key=lambda r: (int(r[4]), r[0]))
+            out["doc_id"].append(doc_id)
+            out["spans"].append([
+                {"kind": k or "", "text": t or "", "media_ref": m or "",
+                 "offset": int(o)}
+                for s, k, t, m, o in rows if s == "input"
+            ])
+            if with_refs:
+                out["ref_spans"].append([
+                    {"kind": k or "", "text": t or "", "media_ref": m or "",
+                     "offset": int(o)}
+                    for s, k, t, m, o in rows if s == "ref"
+                ])
+        return pa.Table.from_pydict(out, schema=expected)
+
+    return ds.map_batches(tag_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(nshards, 64)
+    ).map_groups(assemble_shard, batch_format="pyarrow")
 
 
 def explode_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
