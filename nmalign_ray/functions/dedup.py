@@ -28,6 +28,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ..schema import cluster_cpus
 from .textstats import fingerprint_batch, round6
 
 NUM_PERM = 64
@@ -111,7 +112,14 @@ def minhash_band_rows(batch: pa.Table, num_shards: int | None = None) -> pa.Tabl
     rows_per_band = NUM_PERM // NUM_BANDS
     bands, hashes, ids = [], [], []
     for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig = minhash_signature(shingle_set(text))
+        shingles = shingle_set(text)
+        if not shingles:
+            # shingle-less (empty/whitespace-only) docs are outside the
+            # candidate universe — the SQL twin excludes them
+            # (WHERE trim(text) <> ''), and the sentinel signature would
+            # otherwise pair every empty doc with every other at J=1.0
+            continue
+        sig = minhash_signature(shingles)
         for b in range(NUM_BANDS):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
@@ -134,9 +142,7 @@ def _shard_width() -> int:
     """Coarse-shard count for bucket-pair stages: a few shards per CPU so
     the shuffle stays wide on any cluster while each map_groups task
     amortizes per-group overhead over many exact buckets."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     return max(32, cpus * 4)
 
 
@@ -164,7 +170,8 @@ def _oversize_bucket(n: int, max_bucket: int, what: str, on_truncate: str):
     msg = (
         f"{what} bucket with {n} docs exceeds max_bucket={max_bucket}; "
         "pair emission for it would be dropped (exact-dedup first to "
-        "collapse clones, or raise NUM_PLANES/bands for this corpus)"
+        "collapse clones; for minhash raise NUM_BANDS' rows-per-band, "
+        "for embedding LSH raise simsearch.NUM_PLANES)"
     )
     if on_truncate == "raise":
         raise LshBucketOverflow(msg)
@@ -199,7 +206,10 @@ def banding_candidates(doc_ids, texts) -> set:
     rows_per_band = NUM_PERM // NUM_BANDS
     buckets: dict[tuple[int, bytes], list] = {}
     for did, text in zip(doc_ids, texts):
-        sig = minhash_signature(shingle_set(text))
+        shingles = shingle_set(text)
+        if not shingles:  # same universe as minhash_band_rows / the SQL
+            continue
+        sig = minhash_signature(shingles)
         for b in range(NUM_BANDS):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             buckets.setdefault((b, chunk.tobytes()), []).append(did)
@@ -261,9 +271,47 @@ def minhash_candidate_pairs(
         batch_format="pyarrow",
     )
     # distinct pairs (a pair may collide in several bands/shards)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs)
+
+
+def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep one row per (doc_a, doc_b): coarse-shard exchange keyed on
+    the pair, first-occurrence dedupe inside the shard task — never one
+    Ray group per pair (pair cardinality is candidate-proportional, and
+    per-group dispatch at that cardinality is the measured trap).  Safe
+    whenever every duplicate of a pair carries identical companion
+    columns, which holds for all callers (minhash candidates carry
+    none; simhash hamming is a pure function of the pair)."""
+    import zlib as _zlib
+
+    nshards = _shard_width()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a, b = batch["doc_a"], batch["doc_b"]
+        if pa.types.is_integer(a.type):
+            av = a.to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
+            arr = pa.array(((av + bv) % nshards).astype(np.int32), pa.int32())
+        else:
+            arr = pa.array(
+                [_zlib.crc32(f"{x}|{y}".encode("utf-8")) % nshards
+                 for x, y in zip(a.to_pylist(), b.to_pylist())], pa.int32())
+        return batch.append_column("pshard", arr)
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        seen: set = set()
+        take = []
+        for k, key in enumerate(zip(g["doc_a"].to_pylist(),
+                                    g["doc_b"].to_pylist())):
+            if key not in seen:
+                seen.add(key)
+                take.append(k)
+        return g.take(pa.array(take, pa.int64())).drop_columns(["pshard"])
+
+    return pairs.map_batches(tag, batch_format="pyarrow").groupby(
+        "pshard", num_partitions=min(nshards, 64)
+    ).map_groups(dedupe, batch_format="pyarrow")
 
 
 def jaccard(a: set, b: set) -> float:
@@ -356,9 +404,7 @@ def _member_bloom(pairs: ray.data.Dataset, n_member_rows: int):
     import math
 
     nbits = 1 << max(20, math.ceil(math.log2(max(n_member_rows, 2) * 16)))
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     width = 1 << max(5, math.ceil(math.log2(max(cpus, 2))))  # pow2 >= 32
     slice_bits = nbits // width  # both pow2 -> exact division
 
@@ -681,9 +727,9 @@ def simhash_near_dups(ds: ray.data.Dataset, max_hamming: int = 3,
     pairs = sigs.map_batches(band_rows, batch_format="pyarrow").groupby(
         "shard", num_partitions=min(nshards, 64)
     ).map_groups(shard_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # distinct pairs: hamming is a pure function of the pair, so the
+    # coarse-shard keep-first dedupe is value-exact
+    return _distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -769,20 +815,38 @@ def dedup_keepers(ds: ray.data.Dataset) -> ray.data.Dataset:
         return fingerprint_batch(batch).append_column("n_chars",
                                                       batch["n_chars"])
 
-    hashed = ds.map_batches(fp, batch_format="pyarrow")
+    import zlib as _zlib
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    width = max(32, cluster_cpus() * 4)
 
-        k = pc.index(pc.equal(group["doc_id"],
-                              pc.min(group["doc_id"])), True).as_py()
-        row = group.slice(k, 1)
+    def fp_shard(batch: pa.Table) -> pa.Table:
+        t = fp(batch)
+        return t.append_column(
+            "shard",
+            pa.array([_zlib.crc32(f.encode("utf-8")) % width
+                      for f in t["fingerprint"].to_pylist()], pa.int32()))
+
+    hashed = ds.map_batches(fp_shard, batch_format="pyarrow")
+
+    def keep_min_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many fingerprints: vectorized first-per-group
+        # cut instead of one Ray group per distinct document (fingerprint
+        # cardinality is corpus-scaled — the per-group dispatch trap)
+        g = group.combine_chunks()
+        fps = g["fingerprint"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fps))  # by fingerprint, then doc_id
+        keep = np.empty(len(order), dtype=bool)
+        keep[0:1] = True
+        keep[1:] = fps[order][1:] != fps[order][:-1]
+        take = pa.array(order[keep], pa.int64())
         return pa.Table.from_pydict(
-            {"doc_id": row["doc_id"], "n_chars": row["n_chars"]}
+            {"doc_id": g["doc_id"].take(take),
+             "n_chars": g["n_chars"].take(take)}
         )
 
-    return hashed.groupby("fingerprint").map_groups(
-        keep_min, batch_format="pyarrow"
+    return hashed.groupby("shard", num_partitions=min(width, 64)).map_groups(
+        keep_min_shard, batch_format="pyarrow"
     )
 
 
@@ -1110,8 +1174,17 @@ FROM keep GROUP BY doc_id
 
 
 def _doc_chunks(text: str) -> list[str]:
-    """8-word chunks of the whitespace-tokenized trimmed text (python
-    str.split == the oracle's regexp_split_to_array on \\s+)."""
+    """8-word chunks of the whitespace-tokenized trimmed text.
+
+    python str.split matches the oracle's regexp_split_to_array on
+    ``\\s+`` ONLY on texts free of exotic whitespace (``\\v``, NBSP,
+    unicode spaces — python splits on them, RE2's ASCII ``\\s`` does
+    not) whose edges carry no non-space whitespace (DuckDB ``trim()``
+    strips spaces only, python ``strip()`` strips all).  That domain
+    precondition holds for every shipped table and is PINNED by
+    ``tests/test_oracle_invariants.py::test_no_divergent_whitespace`` —
+    a corpus violating it needs byte-identical tokenizers on both sides
+    before any text oracle can be trusted."""
     toks = text.strip().split()
     return [" ".join(toks[i:i + CHUNK_WORDS])
             for i in range(0, len(toks), CHUNK_WORDS)]
@@ -1189,31 +1262,47 @@ def chunk_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
         ds.map_batches(doc_side, batch_format="pyarrow")
     )
 
-    def rebuild(group: pa.Table) -> pa.Table:
-        is_doc = group["is_doc"].to_pylist()
-        texts = group["text"].to_pylist()
-        idxs = group["idx"].to_pylist()
-        doc_id = group["doc_id"][0].as_py()
-        text = next(t for t, d in zip(texts, is_doc) if d)
-        chunks = _doc_chunks(text)
-        if not chunks:  # empty document: no chunk rows, mirror the oracle
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
-                 "clean_text": pa.array([], pa.string()),
-                 "n_kept": pa.array([], pa.int64()),
-                 "n_chunks": pa.array([], pa.int64())})
-        keep_idx = sorted(i for i, d in zip(idxs, is_doc) if not d)
+    width = max(32, cluster_cpus() * 4)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ks = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array((ks % width).astype(np.int32), pa.int32()))
+
+    def rebuild_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many documents (a per-doc_id groupby pays
+        # per-group dispatch at corpus cardinality): walk the shard's
+        # docs locally and rebuild each
+        by_doc: dict[int, list] = {}
+        for did, idx, text, is_doc in zip(
+            group["doc_id"].to_pylist(), group["idx"].to_pylist(),
+            group["text"].to_pylist(), group["is_doc"].to_pylist(),
+        ):
+            by_doc.setdefault(did, []).append((idx, text, is_doc))
+        ids, cleans, n_kepts, n_chunks_out = [], [], [], []
+        for doc_id in sorted(by_doc):
+            rows = by_doc[doc_id]
+            text = next(t for _, t, d in rows if d)
+            chunks = _doc_chunks(text)
+            if not chunks:  # empty document: no rows, mirror the oracle
+                continue
+            keep_idx = sorted(i for i, _, d in rows if not d)
+            ids.append(doc_id)
+            cleans.append(" ".join(chunks[i] for i in keep_idx))
+            n_kepts.append(len(keep_idx))
+            n_chunks_out.append(len(chunks))
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array([doc_id], pa.int64()),
-                "clean_text": pa.array(
-                    [" ".join(chunks[i] for i in keep_idx)], pa.string()),
-                "n_kept": pa.array([len(keep_idx)], pa.int64()),
-                "n_chunks": pa.array([len(chunks)], pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(cleans, pa.string()),
+                "n_kept": pa.array(n_kepts, pa.int64()),
+                "n_chunks": pa.array(n_chunks_out, pa.int64()),
             }
         )
 
-    return both.groupby("doc_id").map_groups(rebuild, batch_format="pyarrow")
+    return both.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(width, 64)
+    ).map_groups(rebuild_shard, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1279,8 +1368,11 @@ def decontaminate(
     bench_keys = ds.map_batches(bench_chunks, batch_format="pyarrow")
     train = ds.map_batches(train_docs, batch_format="pyarrow")
 
+    # materialize: the aggregate is consumed twice (count gate + either
+    # the key collect or the co-group union) — a lazy Dataset re-executes
+    # its whole plan per consumer (the cms_heavy_hitters lesson)
     distinct_bench = bench_keys.groupby("chunk_key").aggregate(
-        Count(alias_name="_n"))
+        Count(alias_name="_n")).materialize()
     if distinct_bench.count() <= bench_broadcast_max:
         keys: set = set()
         for b in distinct_bench.iter_batches(batch_format="pyarrow"):
@@ -1323,15 +1415,37 @@ def decontaminate(
     both = train.map_batches(train_chunks, batch_format="pyarrow").union(
         distinct_bench.map_batches(bench_side, batch_format="pyarrow"))
 
-    def mark(group: pa.Table) -> pa.Table:
-        hit = bool(pc.any(group["is_bench"]).as_py())
-        t = group.filter(pc.invert(group["is_bench"]))
-        return pa.Table.from_pydict(
-            {"doc_id": t["doc_id"],
-             "hit": pa.array([1 if hit else 0] * len(t), pa.int64())})
+    import zlib as _zlib
 
-    per_chunk = both.groupby("chunk_key").map_groups(
-        mark, batch_format="pyarrow")
+    width = max(32, cluster_cpus() * 4)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard",
+            pa.array([_zlib.crc32(k.encode("utf-8")) % width
+                      for k in batch["chunk_key"].to_pylist()], pa.int32()))
+
+    def mark_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many chunk keys (per-chunk_key groups are
+        # token-cardinality above the gate — the per-group dispatch
+        # trap): vectorized any-per-key via pandas transform
+        import pandas as pd
+
+        g = group.combine_chunks()
+        df = pd.DataFrame({
+            "chunk_key": g["chunk_key"].to_pandas(),
+            "is_bench": g["is_bench"].to_numpy(zero_copy_only=False),
+        })
+        hit = df.groupby("chunk_key")["is_bench"].transform("any")
+        keep = ~df["is_bench"].to_numpy()
+        return pa.Table.from_pydict(
+            {"doc_id": g["doc_id"].filter(pa.array(keep, pa.bool_())),
+             "hit": pa.array(
+                 hit.to_numpy()[keep].astype(np.int64), pa.int64())})
+
+    per_chunk = both.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(width, 64)
+    ).map_groups(mark_shard, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     agg = per_chunk.groupby("doc_id").aggregate(

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..schema import cluster_cpus
 from .textstats import round_half_away
 
 
@@ -194,12 +195,19 @@ def _cogroup_revenue_join(
     partial, combined by label (a handful of rows) at the end.  Key
     groups whose dimension label is missing or NULL are dropped, like
     the broadcast path's dropna."""
+    width = max(32, cluster_cpus() * 4)
+
+    def _key_shard(keys: pa.ChunkedArray) -> pa.Array:
+        ks = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array((ks % width).astype(np.int32), pa.int32())
+
     def fact_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"c_custkey": batch["o_custkey"],
              "price_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
              label_col: pa.nulls(batch.num_rows, pa.string()),
-             "is_dim": pa.array([False] * batch.num_rows, pa.bool_())}
+             "is_dim": pa.array([False] * batch.num_rows, pa.bool_()),
+             "shard": _key_shard(batch["o_custkey"])}
         )
 
     def dim_rows(batch: pa.Table) -> pa.Table:
@@ -207,33 +215,52 @@ def _cogroup_revenue_join(
             {"c_custkey": batch["c_custkey"],
              "price_c": pa.nulls(batch.num_rows, pa.int64()),
              label_col: dim_batch_to_label(batch),
-             "is_dim": pa.array([True] * batch.num_rows, pa.bool_())}
+             "is_dim": pa.array([True] * batch.num_rows, pa.bool_()),
+             "shard": _key_shard(batch["c_custkey"])}
         )
 
-    def per_key(group: pa.Table) -> pa.Table:
-        is_dim = group["is_dim"].to_pylist()
-        labels = group[label_col].to_pylist()
-        cents = group["price_c"].to_pylist()
-        label = next((l for d, l in zip(is_dim, labels) if d and l is not None),
-                     None)
-        fact_cents = [c for d, c in zip(is_dim, cents) if not d]
-        if label is None or not fact_cents:  # unmatched side: inner-join drop
+    def per_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many join keys: vectorized pandas merge
+        # instead of one Ray group per c_custkey (per-group dispatch is
+        # key-cardinality-scaled — the measured trap; this path exists
+        # precisely when keys outnumber the broadcast gate)
+        g = group.combine_chunks()
+        is_dim = g["is_dim"].to_numpy(zero_copy_only=False)
+        fact_t = g.filter(pa.array(~is_dim, pa.bool_()))
+        dim_t = g.filter(pa.array(is_dim, pa.bool_()))
+        # split sides BEFORE pandas so price_c stays nullless int64 —
+        # converting the mixed column would decay to float64 and break
+        # the exact-cents contract on large sums
+        labels = pd.DataFrame({
+            "c_custkey": dim_t["c_custkey"].to_numpy(zero_copy_only=False),
+            label_col: dim_t[label_col].to_pandas(),
+        }).dropna(subset=[label_col]).drop_duplicates(
+            "c_custkey")  # custkey is unique on the dim side
+        fact = pd.DataFrame({
+            "c_custkey": fact_t["c_custkey"].to_numpy(zero_copy_only=False),
+            "price_c": fact_t["price_c"].to_numpy(zero_copy_only=False),
+        })
+        j = fact.merge(labels, on="c_custkey", how="inner")
+        if j.empty:  # unmatched side: inner-join drop
             return pa.Table.from_pydict(
                 {label_col: pa.array([], pa.string()),
                  "price_c": pa.array([], pa.int64()),
                  "num_orders": pa.array([], pa.int64())}
             )
+        agg = j.groupby(label_col, as_index=False).agg(
+            price_c=("price_c", "sum"), num_orders=("price_c", "size"))
         return pa.Table.from_pydict(
-            {label_col: pa.array([label], pa.string()),
-             "price_c": pa.array([sum(fact_cents)], pa.int64()),
-             "num_orders": pa.array([len(fact_cents)], pa.int64())}
+            {label_col: pa.array(agg[label_col], pa.string()),
+             "price_c": pa.array(agg["price_c"].astype("int64"), pa.int64()),
+             "num_orders": pa.array(agg["num_orders"].astype("int64"),
+                                    pa.int64())}
         )
 
     tagged = orders.map_batches(fact_rows, batch_format="pyarrow").union(
         dim.map_batches(dim_rows, batch_format="pyarrow")
     )
-    partials = tagged.groupby("c_custkey").map_groups(
-        per_key, batch_format="pyarrow"
+    partials = tagged.groupby("shard", num_partitions=min(width, 64)).map_groups(
+        per_shard, batch_format="pyarrow"
     )
 
     # per-key partials number one per distinct join key — dimension-sized,
@@ -304,12 +331,17 @@ def inactive_customers(
     a lazy-Dataset return cannot satisfy the column contract on empty
     results); a deployment whose surviving-customer set outgrows the
     driver should write the pre-collect dataset to a sink instead."""
-    urgent = orders.map_batches(
-        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
-            ["o_custkey"]
-        ),
-        batch_format="pyarrow",
-    )
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        # per-batch DISTINCT before anything leaves the task: the urgent
+        # key domain is customer-sized (gated below), but the raw urgent
+        # ROWS are fact-table-sized and must never collect to the driver
+        keys = b.filter(
+            pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        return pa.Table.from_pydict(
+            {"o_custkey": pa.array(
+                np.unique(keys.to_numpy(zero_copy_only=False)), pa.int64())})
+
+    urgent = orders.map_batches(urgent_keys, batch_format="pyarrow")
     if customer.count() > broadcast_threshold:
         return _inactive_customers_cogroup(customer, urgent)
     udf = urgent.to_pandas()
@@ -358,23 +390,31 @@ def _inactive_customers_cogroup(
              "is_marker": pa.array([True] * batch.num_rows, pa.bool_())}
         )
 
-    def anti_group(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    width = max(32, cluster_cpus() * 4)
 
-        if pc.any(group["is_marker"]).as_py():  # an urgent order hit this key
-            return pa.Table.from_pydict(
-                {"c_custkey": pa.array([], group["c_custkey"].type),
-                 "c_name": pa.array([], pa.string())}
-            )
-        return group.select(["c_custkey", "c_name"])
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ks = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array((ks % width).astype(np.int32), pa.int32()))
+
+    def anti_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many keys: vectorized isin anti-join instead
+        # of one Ray group per c_custkey (per-group dispatch is
+        # key-cardinality-scaled; this path runs only above the gate)
+        g = group.combine_chunks()
+        is_marker = g["is_marker"].to_numpy(zero_copy_only=False)
+        keys = g["c_custkey"].to_numpy(zero_copy_only=False)
+        hit = np.isin(keys, np.unique(keys[is_marker]))
+        return g.filter(pa.array(~is_marker & ~hit, pa.bool_())).select(
+            ["c_custkey", "c_name"])
 
     tagged = customer.select_columns(["c_custkey", "c_name"]).map_batches(
         cust_rows, batch_format="pyarrow"
     ).union(urgent.map_batches(marker_rows, batch_format="pyarrow"))
     return _anti_to_pandas(
-        tagged.groupby("c_custkey").map_groups(
-            anti_group, batch_format="pyarrow"
-        )
+        tagged.map_batches(add_shard, batch_format="pyarrow").groupby(
+            "shard", num_partitions=min(width, 64)
+        ).map_groups(anti_shard, batch_format="pyarrow")
     )
 
 
@@ -566,9 +606,7 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
     # shuffle width scales with the session's CPU count (a fixed 32
     # starves the exchange on a larger cluster — round-2 verdict item 6);
     # 32 stays the floor so small sessions keep the tuned width
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     return events.groupby("user_id", num_partitions=max(32, cpus)).map_groups(
         per_user, batch_format="pandas")
 
@@ -656,9 +694,7 @@ def asof_join(events: ray.data.Dataset, probe_mod: int = 10) -> ray.data.Dataset
              "quote_value": hit["value"].to_numpy()}
         )
 
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     return events.map_batches(tag, batch_format="pyarrow").groupby(
         "user_id", num_partitions=max(32, cpus)
     ).map_groups(per_user, batch_format="pandas")
@@ -687,9 +723,7 @@ def value_quantiles(events: ray.data.Dataset) -> ray.data.Dataset:
     then an in-shard vectorized lexsort + segment index selection
     (discrete quantiles — selection, not interpolation, so no float
     arithmetic can diverge from the SQL twin)."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     width = max(32, cpus * 4)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -966,11 +1000,7 @@ def outer_join_orders(
     # single-key groups cost ~5 s of a 6 s query at sf0.1) — shuffle on
     # a coarse shard of the key instead and merge each shard's keys
     # VECTORIZED inside one task (same trick as the LSH bucket stages)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    width = max(16, cpus * 4)
+    width = max(16, cluster_cpus() * 4)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         keys = batch["custkey"].to_numpy(zero_copy_only=False)
@@ -1135,9 +1165,7 @@ WHERE rnk <= {GROUPED_TOPK_K}
 def grouped_topk(orders: ray.data.Dataset, k: int = GROUPED_TOPK_K
                  ) -> ray.data.Dataset:
     """Top-k orders per customer by (o_totalprice DESC, o_orderkey)."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     width = max(32, cpus * 4)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1195,9 +1223,7 @@ FROM orders
 
 def running_totals(orders: ray.data.Dataset) -> ray.data.Dataset:
     """Cumulative per-customer revenue in (o_orderdate, o_orderkey) order."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     width = max(32, cpus * 4)
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -1299,9 +1325,7 @@ def range_join(events: ray.data.Dataset, probe_mod: int = RANGE_JOIN_MOD
         return batch.set_column(
             idx, "ts", pc.cast(batch["ts"], pa.timestamp("us")))
 
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     return events.groupby(
         "user_id", num_partitions=max(32, cpus)
     ).map_groups(per_user, batch_format="pandas").map_batches(
@@ -1398,9 +1422,7 @@ GROUP BY user_id, date_trunc('hour', ts)
 
 def hourly_distinct(events: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct event types per user per hour."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     width = max(32, cpus * 4)
 
     def partial(batch: pa.Table) -> pa.Table:

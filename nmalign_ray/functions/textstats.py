@@ -818,10 +818,9 @@ def inverted_index(ds: ray.data.Dataset, max_postings: int = MAX_POSTINGS
     for the LSH buckets — same lesson), while a few hundred shard groups
     amortize it; terms are then merged inside the shard task with one
     numpy sort."""
-    try:  # match pipelines.extract.resolve_concurrency's cluster sizing
-        width = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    except Exception:  # noqa: BLE001 - sizing only
-        width = 64
+    from ..schema import cluster_cpus
+
+    width = max(64, cluster_cpus() * 4)
 
     def partial(batch: pa.Table) -> pa.Table:
         doc_of, code_of, _, vocab, _ = _doc_term_counts(batch)

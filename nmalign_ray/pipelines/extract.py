@@ -20,7 +20,7 @@ from functools import partial
 
 import ray.data
 
-from ..schema import EngineConfig
+from ..schema import EngineConfig, cluster_cpus
 from ..stages import AlignChunks, extract_and_salt, reassemble_group
 
 
@@ -30,9 +30,7 @@ def resolve_concurrency(cfg: EngineConfig):
     shuffle / sink stages)."""
     import ray
 
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     # never reserve the LAST cpu — not even for an explicit request:
     # actor pools hold their CPUs for the whole stage, and a pool as
     # wide as the cluster starves the read/shuffle tasks — the streaming
@@ -224,9 +222,7 @@ def join_refs(
 
     import ray as _ray
 
-    cpus = 8
-    if _ray.is_initialized():
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     nshards = max(32, cpus * 4)
 
     def _shard_col(doc_ids: pa.ChunkedArray) -> pa.Array:

@@ -61,6 +61,18 @@ TEXT_KINDS = ("text", "html", "pdf")
 MEDIA_KINDS = ("image", "audio", "video")
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count for sizing shuffle widths / shard counts —
+    THE shared snippet (was copy-pasted 15x across the stages before
+    round 5's review).  Falls back to ``default`` outside a Ray session
+    so pure-python callers (tests, serial oracles) keep working."""
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", default))
+    return default
+
+
 def crc32_shard(doc_id: str, num_shards: int) -> int:
     """THE deterministic doc→shard key, shared by every stage that
     co-locates by document (checkpoint partitions, the pair-join shards).
@@ -132,11 +144,4 @@ class EngineConfig:
     def resolved_partitions(self) -> int:
         if self.num_partitions is not None:
             return self.num_partitions
-        cpus = 8
-        try:
-            import ray
-            if ray.is_initialized():
-                cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            pass
-        return max(32, cpus)
+        return max(32, cluster_cpus())

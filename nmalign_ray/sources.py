@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from .schema import CORPUS_SCHEMA, INPUT_SCHEMA, SPAN_TYPE
+from .schema import CORPUS_SCHEMA, INPUT_SCHEMA, SPAN_TYPE, cluster_cpus
 
 _FORMATS = ("parquet", "jsonl")
 
@@ -164,9 +164,7 @@ def read_flat_corpus(
 
     from .schema import crc32_shard
 
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = cluster_cpus()
     nshards = max(32, cpus * 4)
 
     def tag_shard(batch: pa.Table) -> pa.Table:

@@ -36,6 +36,17 @@ class TestMinhash:
         assert not any(2 in p or 4 in p for p in found)
         assert ((pairs.jaccard >= 0.5) & (pairs.jaccard <= 1.0)).all()
 
+    def test_empty_docs_emit_no_pairs(self, ray_session):
+        # empty/whitespace-only docs are OUTSIDE the candidate universe,
+        # matching the SQL twin's WHERE trim(text) <> '' — without the
+        # band-row skip the shared sentinel signature would pair every
+        # empty doc with every other at jaccard 1.0
+        ds = ray_session.data.from_arrow(docs_table(["", "   ", BASE, ""]))
+        pairs = dedup.minhash_near_dups(ds, threshold=0.5).to_pandas()
+        assert len(pairs) == 0
+        assert dedup.banding_candidates([0, 1, 2, 3],
+                                        ["", "   ", BASE, ""]) == set()
+
     def test_signature_deterministic(self):
         s1 = dedup.minhash_signature(dedup.shingle_set(BASE))
         s2 = dedup.minhash_signature(dedup.shingle_set(BASE))

@@ -334,3 +334,32 @@ def test_no_doc_exceeds_salt_threshold(sf_dir):
         f"a derived doc has {worst} candidate spans >= salt threshold "
         f"{SALT_THRESHOLD}: the local-reassembly substitution in "
         "_extract_query is no longer output-identical at this scale")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_divergent_whitespace(sf_dir):
+    """Every text SQL twin assumes python tokenization == DuckDB/RE2
+    tokenization, which holds only on texts (a) free of exotic
+    whitespace — ``\\v``, NBSP, unicode spaces split python-side but not
+    RE2-side — and (b) whose edges carry no non-space whitespace
+    (DuckDB ``trim()`` strips spaces only; python ``strip()`` strips
+    all).  Pin that domain precondition on the shipped documents table
+    instead of leaving it implicit in 20+ oracles (round-5 review)."""
+    import pyarrow.parquet as pq
+
+    safe_ws = set(" \t\n\r\f")  # in BOTH python-split and RE2 \s
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    for s in t["text"].to_pylist():
+        if not s:
+            continue
+        exotic = {ch for ch in s if ch.isspace() and ch not in safe_ws}
+        assert not exotic, (
+            f"documents.text contains whitespace {exotic!r} where python "
+            "and RE2/DuckDB tokenization diverge — text oracles unsafe")
+        assert not (s[0].isspace() and s[0] != " "), (
+            "leading non-space whitespace: DuckDB trim() vs python strip() "
+            "diverge")
+        assert not (s[-1].isspace() and s[-1] != " "), (
+            "trailing non-space whitespace: DuckDB trim() vs python "
+            "strip() diverge")
