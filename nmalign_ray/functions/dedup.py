@@ -274,6 +274,20 @@ def minhash_candidate_pairs(
     return _distinct_pairs(pairs)
 
 
+def _id_shard_col(col, width: int) -> pa.Array:
+    """Coarse int32 shard column from an id column (int64 fast path,
+    crc32 for strings — process-stable either way)."""
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(c.type):
+        v = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array((v % width).astype(np.int32), pa.int32())
+    import zlib as _zlib
+
+    return pa.array(
+        [_zlib.crc32(str(x).encode("utf-8")) % width for x in c.to_pylist()],
+        pa.int32())
+
+
 def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Keep one row per (doc_a, doc_b): coarse-shard exchange keyed on
     the pair, first-occurrence dedupe inside the shard task — never one
@@ -543,56 +557,87 @@ def minhash_near_dups(
         corpus_side.map_batches(doc_rows, batch_format="pyarrow")
     )
 
-    def attach_shingles(group: pa.Table) -> pa.Table:
+    width = max(32, cluster_cpus() * 4)
+
+    def add_dshard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard", _id_shard_col(batch["doc_id"], width))
+
+    def attach_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many candidate docs (the exchange is
+        # candidate-proportional via the prefilter, but a per-doc_id
+        # groupby would still pay per-group dispatch per candidate):
+        # walk the shard's docs locally, shingle each ONCE, replicate
+        # per membership
         t = group["doc_id"].type
-        pair_a = group["pair_a"].to_pylist()  # one to_pylist per column,
-        pair_b = group["pair_b"].to_pylist()  # not one Arrow scalar per cell
+        doc_ids = group["doc_id"].to_pylist()  # one to_pylist per column,
+        pair_a = group["pair_a"].to_pylist()   # not one Arrow scalar per cell
+        pair_b = group["pair_b"].to_pylist()
         texts = group["text"].to_pylist()
-        text = None
-        memberships = []
+        text_of: dict = {}
+        members_of: dict = {}
         for k in range(group.num_rows):
             if pair_a[k] is None:
-                text = texts[k]
+                text_of[doc_ids[k]] = texts[k]
             else:
-                memberships.append((pair_a[k], pair_b[k]))
-        if text is None or not memberships:
-            return pa.Table.from_pydict(
-                {"pair_a": pa.array([], t), "pair_b": pa.array([], t),
-                 "shingles": pa.array([], pa.list_(pa.string()))}
-            )
-        sh = sorted(shingle_set(text))
+                members_of.setdefault(doc_ids[k], []).append(
+                    (pair_a[k], pair_b[k]))
+        a_out, b_out, sh_out = [], [], []
+        for did in sorted(members_of):
+            if did not in text_of:  # Bloom FP rider / missing doc: drop
+                continue
+            sh = sorted(shingle_set(text_of[did]))
+            for m in members_of[did]:
+                a_out.append(m[0])
+                b_out.append(m[1])
+                sh_out.append(sh)
         return pa.Table.from_pydict(
-            {"pair_a": pa.array([m[0] for m in memberships], t),
-             "pair_b": pa.array([m[1] for m in memberships], t),
-             "shingles": pa.array([sh] * len(memberships),
-                                  pa.list_(pa.string()))}
+            {"pair_a": pa.array(a_out, t), "pair_b": pa.array(b_out, t),
+             "shingles": pa.array(sh_out, pa.list_(pa.string()))}
         )
 
-    sides = tagged.groupby("doc_id").map_groups(
-        attach_shingles, batch_format="pyarrow"
-    )
+    sides = tagged.map_batches(add_dshard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(width, 64)
+    ).map_groups(attach_shard, batch_format="pyarrow")
 
-    def verify(group: pa.Table) -> pa.Table:
+    def add_pshard(batch: pa.Table) -> pa.Table:
+        a = _id_shard_col(batch["pair_a"], width).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = _id_shard_col(batch["pair_b"], width).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array(((a + b) % width).astype(np.int32), pa.int32()))
+
+    def verify_shard(group: pa.Table) -> pa.Table:
+        # one coarse shard = many pairs; a pair verifies only when BOTH
+        # members' shingle rows arrived (count == 2), exactly the old
+        # per-pair-group rule
         t = group["pair_a"].type
-        empty = pa.Table.from_pydict(
-            {"doc_a": pa.array([], t), "doc_b": pa.array([], t),
-             "jaccard": pa.array([], pa.float64())}
-        )
-        if group.num_rows != 2:  # a side lacked its corpus row
-            return empty
-        j = jaccard(set(group["shingles"][0].as_py()),
-                    set(group["shingles"][1].as_py()))
-        if j < threshold:
-            return empty
+        pair_a = group["pair_a"].to_pylist()
+        pair_b = group["pair_b"].to_pylist()
+        shingles = group["shingles"].to_pylist()
+        rows_of: dict = {}
+        for k in range(group.num_rows):
+            rows_of.setdefault((pair_a[k], pair_b[k]), []).append(shingles[k])
+        a_out, b_out, j_out = [], [], []
+        for (a, b) in sorted(rows_of):
+            sh = rows_of[(a, b)]
+            if len(sh) != 2:  # a side lacked its corpus row
+                continue
+            j = jaccard(set(sh[0]), set(sh[1]))
+            if j < threshold:
+                continue
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(float(round6(j)))
         return pa.Table.from_pydict(
-            {"doc_a": group["pair_a"].combine_chunks().slice(0, 1),
-             "doc_b": group["pair_b"].combine_chunks().slice(0, 1),
-             "jaccard": pa.array([float(round6(j))], pa.float64())}
+            {"doc_a": pa.array(a_out, t), "doc_b": pa.array(b_out, t),
+             "jaccard": pa.array(j_out, pa.float64())}
         )
 
-    return sides.groupby(["pair_a", "pair_b"]).map_groups(
-        verify, batch_format="pyarrow"
-    )
+    return sides.map_batches(add_pshard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(width, 64)
+    ).map_groups(verify_shard, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
