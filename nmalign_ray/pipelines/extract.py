@@ -136,9 +136,39 @@ def build_extract_pipeline(
     # 30k docs from the coalesce alone)
     num_partitions = cfg.resolved_partitions()
     aligned = aligned.repartition(num_partitions)
-    return aligned.groupby("doc_id", num_partitions=num_partitions).map_groups(
-        reassemble_group, batch_format="pyarrow"
-    )
+
+    # shuffle on a coarse shard of doc_id (the checkpoint sink's pid
+    # keying) and reassemble each document INSIDE the shard task — a
+    # per-doc_id groupby pays per-group dispatch at corpus cardinality
+    # (measured: 80k groups = 5.7 s of a 6 s stage)
+    from ..schema import crc32_shard
+
+    def add_shard(batch: ray.data.Dataset) -> "pa.Table":
+        import pyarrow as pa
+
+        return batch.append_column(
+            "shard",
+            pa.array([crc32_shard(d, num_partitions)
+                      for d in batch["doc_id"].to_pylist()], pa.int32()))
+
+    def reassemble_shard(group) -> "pa.Table":
+        import pyarrow as pa
+
+        from ..schema import OUTPUT_SCHEMA
+
+        by_doc: dict[str, list[int]] = {}
+        for k, did in enumerate(group["doc_id"].to_pylist()):
+            by_doc.setdefault(did, []).append(k)
+        # cast each doc to the canonical schema: reassemble_group may
+        # pass a parquet-read spans column through (list field named
+        # "element") or build one ("item"), and concat rejects the mix
+        docs = [reassemble_group(group.take(idxs)).cast(OUTPUT_SCHEMA)
+                for _, idxs in sorted(by_doc.items())]
+        return pa.concat_tables(docs) if docs else OUTPUT_SCHEMA.empty_table()
+
+    return aligned.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=num_partitions
+    ).map_groups(reassemble_shard, batch_format="pyarrow")
 
 
 def reassemble_block(batch):
