@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents", ["doc_id", "text"])),
         "dedup_keepers": lambda sf: dedup.dedup_keepers(_read(sf, "documents", ["doc_id", "text", "n_chars"])),
         "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents", ["doc_id", "text"])),
+        "shingle_novelty": lambda sf: dedup.shingle_novelty(
+            _read(sf, "documents", ["doc_id", "text"])),
         "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         "dup_groups": lambda sf: dedup.connected_groups(
@@ -639,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dedup_keepers": dedup.DEDUP_KEEPERS_SQL,
         "jaccard_sample": dedup.JACCARD_SAMPLE_SQL,
+        "shingle_novelty": dedup.SHINGLE_NOVELTY_SQL,
         "minhash_near_dups": dedup.MINHASH_NEAR_DUPS_SQL,
         "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,

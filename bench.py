@@ -188,6 +188,7 @@ def run_bench() -> dict:
         "media_resize",
         "media_frames",
         "jaccard_sample",
+        "shingle_novelty",
         "quality_filter",
         "dedup_keepers",
         "extract_align_identity",

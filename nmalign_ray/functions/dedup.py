@@ -836,6 +836,120 @@ def jaccard_sample(ds: ray.data.Dataset, max_id: int = JACCARD_SAMPLE_MAX_ID) ->
     )
 
 
+# Per-document shingle novelty (data-selection signal, cf. importance-
+# resampling / SemDeDup-style filtering): the fraction of a document's
+# DISTINCT 3-gram shingles whose corpus-wide document frequency is 1.
+# Exact integer counts -> one float division + round6, so the twin is
+# bit-identical.  Sums over BIGINT are HUGEINT in DuckDB -> cast (the
+# r4 hasher lesson, enforced by the oracle-type gate).
+SHINGLE_NOVELTY_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in generate_series(1, len(toks) - 2)] END) AS shingles
+  FROM docs
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+agg AS (
+  SELECT e.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM ex e JOIN df d ON d.s = e.s
+  GROUP BY e.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
+FROM agg
+"""
+
+
+def shingle_novelty(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document novelty: the fraction of its distinct 3-gram shingles
+    seen in NO other document — high novelty selects fresh content, low
+    novelty flags boilerplate-heavy docs near-dup detection misses.
+
+    100-TB shape: narrow (shingle, doc_id) rows (per-doc DISTINCT at the
+    map side, text never leaves the task) shuffle ONCE on a coarse
+    shingle-hash shard — all copies of a shingle land in one shard, so
+    the shard-local document frequency IS the global one; per-doc
+    partial counts then combine with a built-in Sum aggregate
+    (vocabulary-bounded partials, no per-key UDF dispatch)."""
+    import zlib as _zlib
+
+    nshards = _shard_width()
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        sh_out: list = []
+        id_out: list = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for s in shingle_set(text):
+                sh_out.append(s)
+                id_out.append(did)
+        return pa.Table.from_pydict(
+            {"s": pa.array(sh_out, pa.string()),
+             "doc_id": pa.array(id_out, pa.int64()),
+             "shard": pa.array(
+                 [_zlib.crc32(s.encode("utf-8")) % nshards for s in sh_out],
+                 pa.int32())}
+        )
+
+    def shard_counts(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.combine_chunks()
+        df = pd.DataFrame({
+            "s": g["s"].to_pandas(),
+            "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+        })
+        # rows are per-doc distinct, so size-per-shingle = document freq
+        uniq = (df.groupby("s")["doc_id"].transform("size") == 1)
+        agg = pd.DataFrame(
+            {"doc_id": df["doc_id"], "u": uniq.to_numpy().astype(np.int64)}
+        ).groupby("doc_id", as_index=False).agg(
+            n_shingles=("u", "size"), n_unique=("u", "sum"))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+             "n_shingles": pa.array(
+                 agg["n_shingles"].to_numpy().astype(np.int64), pa.int64()),
+             "n_unique": pa.array(
+                 agg["n_unique"].to_numpy().astype(np.int64), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(shingle_rows, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(nshards, 64)
+    ).map_groups(shard_counts, batch_format="pyarrow")
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_unique", alias_name="n_unique"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = batch["n_unique"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+             "n_shingles": pa.array(ns, pa.int64()),
+             "n_unique": pa.array(nu, pa.int64()),
+             "novelty": pa.array(round6(nu.astype(np.float64) / ns),
+                                 pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 DEDUP_KEEPERS_SQL = """
 SELECT d.doc_id, d.n_chars
 FROM documents d

@@ -61,6 +61,25 @@ class TestMinhash:
         assert out.iloc[0]["dup_count"] == 3
 
 
+class TestShingleNovelty:
+    def test_boilerplate_scores_low_unique_scores_high(self, ray_session):
+        texts = [
+            BASE,                      # shares every shingle with doc 1
+            BASE,                      # exact clone: novelty 0 both
+            "a wholly original sentence about quasar jets and lattice gauge",
+        ]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        out = dedup.shingle_novelty(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "novelty"] == 0.0 and out.loc[1, "novelty"] == 0.0
+        assert out.loc[2, "novelty"] == 1.0
+        assert out.loc[2, "n_unique"] == out.loc[2, "n_shingles"]
+
+    def test_empty_docs_excluded(self, ray_session):
+        ds = ray_session.data.from_arrow(docs_table(["", "   ", BASE]))
+        out = dedup.shingle_novelty(ds).to_pandas()
+        assert sorted(out.doc_id) == [2]
+
+
 class TestMinhashPrefilterGate:
     def test_prefilter_path_equals_bloom_path(self, ray_session):
         # the member-id broadcast prefilter (gate open) and the
