@@ -599,10 +599,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles", "sampled_quantiles", "hourly_distinct",
         "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
         "outer_join_orders",
+        # new this round, never driver-recorded:
+        "shingle_novelty",
         # high-value dedup/ANN/join re-validations (code touched or
-        # bench-flagged this round):
+        # bench-flagged this round; exact_dedup rotates out — it holds
+        # hash-green rows in all four prior rounds):
         "pack_sequences", "minhash_near_dups", "simhash_near_dups",
-        "dup_groups", "embedding_near_dups", "exact_dedup",
+        "dup_groups", "embedding_near_dups",
         "knn_brute", "knn_lsh", "knn_ivf",
         "asof_join", "range_join", "grouped_topk", "running_totals",
         "cms_heavy_hitters",
