@@ -536,6 +536,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": lambda sf: textstats.mix_sample(
             _read(sf, "documents", ["doc_id", "text", "source"])
         ),
+        "bm25_topk": lambda sf: textstats.bm25_topk(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
+        "pmi_bigrams": lambda sf: textstats.pmi_bigrams(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         # --- multimodal plumbing (codec stubbed behind the strict seam;
         # the media table derives from documents and the stub's outputs
         # are md5 arithmetic, so the driver sees exact SQL twins over the
@@ -692,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": textstats.KMV_DISTINCT_SQL,
         "mix_sample": textstats.MIX_SAMPLE_SQL,
         "pack_sequences": textstats.PACK_SEQUENCES_SQL,
+        "bm25_topk": textstats.BM25_TOPK_SQL,
+        "pmi_bigrams": textstats.PMI_BIGRAMS_SQL,
         "media_features": media.MEDIA_FEATURES_SQL,
         "media_resize": media.MEDIA_RESIZE_SQL,
         "media_frames": media.MEDIA_FRAMES_SQL,

@@ -10,6 +10,7 @@ DuckDB twin (the ``*_SQL`` constants) used as the correctness oracle.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -1387,3 +1388,260 @@ def pack_sequences(ds: ray.data.Dataset,
     out = [_attach.remote(r, int(o), bin_tokens)
            for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's idf variant
+# ln(1 + (N - df + 0.5)/(df + 0.5))) for a fixed query-term set — the
+# retrieval-scoring face of the inverted-index/tf-idf family.  Scale shape:
+# ONE tokenizing pass emits a narrow per-doc row (doc_id, dl, tf per term)
+# that is materialized once (5 int64s per doc — corpus-independent width);
+# the corpus statistics (N, Σdl, df per term) reduce to per-block scalar
+# partials, and scoring re-maps the narrow rows with the stats captured in
+# the closure, keeping a per-batch partial top-k so the driver only ever
+# sees k rows per block.  No shuffle anywhere.  The score expression is
+# written with the same association order as the SQL twin, from exact
+# integer inputs, so round6 matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1 = 1.2  # SQL literals 1.2 / 2.2 / 0.75 below mirror these
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_term_sql(i: int) -> str:
+    return (f"ln(1.0 + (g.n - g.df{i} + 0.5) / (g.df{i} + 0.5)) "
+            f"* tf{i} * 2.2 / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * st.dl "
+            f"/ (CAST(g.sum_dl AS DOUBLE) / g.n)))")
+
+
+BM25_TOPK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+st AS (
+  SELECT doc_id, len(toks) AS dl,
+         len([t for t in toks if t = '{BM25_TERMS[0]}']) AS tf0,
+         len([t for t in toks if t = '{BM25_TERMS[1]}']) AS tf1,
+         len([t for t in toks if t = '{BM25_TERMS[2]}']) AS tf2
+  FROM d
+),
+g AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM st
+),
+sc AS (
+  SELECT st.doc_id,
+         round({_bm25_term_sql(0)}
+             + {_bm25_term_sql(1)}
+             + {_bm25_term_sql(2)}, 6) AS score
+  FROM st CROSS JOIN g
+  WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT
+            ) AS rank
+FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
+def bm25_topk(ds: ray.data.Dataset, terms=BM25_TERMS, k: int = BM25_TOP_K,
+              k1: float = BM25_K1, b: float = BM25_B) -> ray.data.Dataset:
+    """Top-k documents by BM25 score for a fixed query-term set."""
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        flat, offsets, counts = _tokens_and_offsets(
+            pc.utf8_lower(batch["text"]))
+        cols = {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "dl": counts}
+        for i, t in enumerate(terms):
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"tf{i}"] = _segment_count(mask, offsets)
+        keep = counts > 0  # SQL twin's WHERE trim(text) <> ''
+        return pa.Table.from_pydict(
+            {name: pa.array(v[keep], pa.int64())
+             for name, v in cols.items()})
+
+    # materialized ONCE: consumed by the stats pass and the scoring pass
+    # (a lazy ds consumed twice re-runs its whole plan — see
+    # cms_heavy_hitters' round-4 regression)
+    stats_src = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        row = {"n": [len(dl)], "sum_dl": [int(dl.sum())]}
+        for i in range(len(terms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False)
+            row[f"df{i}"] = [int((tf > 0).sum())]
+        return pa.Table.from_pydict(
+            {kk: pa.array(vv, pa.int64()) for kk, vv in row.items()})
+
+    # one scalar row per block — bounded driver collect
+    parts = stats_src.map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    # an all-empty corpus yields a zero-row (column-less) frame
+    n = int(parts["n"].sum()) if "n" in parts.columns else 0
+    if n == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}))
+    sum_dl = int(parts["sum_dl"].sum())
+    dfs = [int(parts[f"df{i}"].sum()) for i in range(len(terms))]
+    avgdl = sum_dl / n  # CAST(sum_dl AS DOUBLE) / n
+
+    def score_cut(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        score = np.zeros(len(dl), np.float64)
+        any_tf = np.zeros(len(dl), np.int64)
+        for i in range(len(terms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False)
+            any_tf = any_tf + tf
+            idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+            # association order mirrors _bm25_term_sql exactly
+            contrib = (idf * tf * (k1 + 1.0)
+                       / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            score = score + contrib
+        score = round6(score)
+        keep = any_tf > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        score = score[keep]
+        order = np.lexsort((ids, -score))[:k]  # partial per-batch cut
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "score": pa.array(score[order], pa.float64())})
+
+    # k rows per block reach the driver; final cut + exact rank
+    pool = stats_src.map_batches(score_cut,
+                                 batch_format="pyarrow").to_pandas()
+    pool = pool.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    pool["rank"] = np.arange(1, len(pool) + 1, dtype=np.int64)
+    pool = pool.reset_index(drop=True)
+    return ray.data.from_pandas(pool)
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations: pointwise mutual information of adjacent word
+# pairs, the classic corpus-analysis signal (Church & Hanks 1990).  Scale
+# shape: per-batch partial counts collapse tokens into vocabulary-sized
+# (gram, kind) rows BEFORE the one small groupby exchange (same shape as
+# top_terms); the driver sees only the distinct-gram aggregate (gated by
+# VOCAB_BROADCAST_MAX) and computes PMI from exact integer counts with one
+# log per surviving bigram.  Corpus totals (token and bigram counts) are
+# the sums of the collected aggregate itself — no marker rows needed.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+PMI_BIGRAMS_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+tok AS (SELECT unnest(toks) AS t FROM d),
+uni AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+n1 AS (SELECT count(*) AS n FROM tok),
+bg AS (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                      for i in generate_series(1, len(toks) - 1)]) AS g
+       FROM d),
+bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+n2 AS (SELECT count(*) AS n FROM bg),
+sp AS (SELECT c2, string_split(g, ' ')[1] AS w1,
+              string_split(g, ' ')[2] AS w2
+       FROM bc WHERE c2 >= {PMI_MIN_COUNT}),
+sc AS (SELECT w1, w2, c2 AS cnt,
+              round(ln(CAST(c2 AS DOUBLE) * n1.n * n1.n
+                       / (CAST(u1.c AS DOUBLE) * u2.c * n2.n)), 6) AS pmi
+       FROM sp JOIN uni u1 ON sp.w1 = u1.t JOIN uni u2 ON sp.w2 = u2.t
+       CROSS JOIN n1 CROSS JOIN n2)
+SELECT w1, w2, cnt, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT
+            ) AS rank
+FROM sc ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
+def pmi_bigrams(ds: ray.data.Dataset, min_count: int = PMI_MIN_COUNT,
+                k: int = PMI_TOP_K) -> ray.data.Dataset:
+    """Top-k adjacent-word collocations by PMI with a min-count floor."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, _ = _tokens_and_offsets(
+            pc.utf8_lower(batch["text"]))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        grams: list = []
+        kinds: list = []
+        cnts: list = []
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = enc.dictionary.to_pylist()
+            nonempty = np.array([t != "" for t in vocab], bool)[codes]
+            ucode, ucnt = np.unique(codes[nonempty], return_counts=True)
+            grams += [vocab[c] for c in ucode]
+            kinds += ["u"] * len(ucode)
+            cnts += [int(x) for x in ucnt]
+            if len(flat) > 1:
+                valid = np.ones(len(codes) - 1, bool)
+                # pairs crossing a document boundary are not bigrams
+                inner = offsets[1:-1]
+                valid[inner[inner > 0] - 1] = False
+                valid &= nonempty[:-1] & nonempty[1:]
+                if valid.any():
+                    v = len(vocab)
+                    key = codes[:-1][valid] * v + codes[1:][valid]
+                    ukey, uc2 = np.unique(key, return_counts=True)
+                    grams += [f"{vocab[kk // v]} {vocab[kk % v]}"
+                              for kk in ukey]
+                    kinds += ["b"] * len(ukey)
+                    cnts += [int(x) for x in uc2]
+        return pa.Table.from_pydict(
+            {"gram": pa.array(grams, pa.string()),
+             "kind": pa.array(kinds, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["gram", "kind"]).aggregate(Sum("cnt", alias_name="cnt"))
+    rows = _vocab_pandas(agg, "pmi_bigrams")
+    empty = pa.Table.from_pydict(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64()),
+         "pmi": pa.array([], pa.float64()),
+         "rank": pa.array([], pa.int64())})
+    if "kind" not in rows.columns:  # all-empty corpus: column-less frame
+        return ray.data.from_arrow(empty)
+    uni = rows[rows["kind"] == "u"]
+    big = rows[rows["kind"] == "b"]
+    n1 = int(uni["cnt"].sum())
+    n2 = int(big["cnt"].sum())
+    big = big[big["cnt"] >= min_count]
+    if n1 == 0 or n2 == 0 or len(big) == 0:
+        return ray.data.from_arrow(empty)
+    umap = dict(zip(uni["gram"], uni["cnt"].astype(np.int64)))
+    w1 = big["gram"].str.split(" ").str[0].to_numpy()
+    w2 = big["gram"].str.split(" ").str[1].to_numpy()
+    c2 = big["cnt"].to_numpy(np.int64)
+    ca = np.array([umap[w] for w in w1], np.int64)
+    cb = np.array([umap[w] for w in w2], np.int64)
+    # association order mirrors the SQL: (((c2*n1)*n1) / (((ca*cb)*n2)))
+    pmi = round6(np.log(c2.astype(np.float64) * n1 * n1
+                        / (ca.astype(np.float64) * cb * n2)))
+    order = np.lexsort((w2, w1, -pmi))[:k]
+    out = pa.Table.from_pydict(
+        {"w1": pa.array(w1[order].tolist(), pa.string()),
+         "w2": pa.array(w2[order].tolist(), pa.string()),
+         "cnt": pa.array(c2[order], pa.int64()),
+         "pmi": pa.array(pmi[order], pa.float64()),
+         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
+    return ray.data.from_arrow(out)

@@ -1369,3 +1369,114 @@ class TestPpmRealCodec:
         assert (w, h) == (3, 3)
         with pytest.raises(NotImplementedError):
             stub._decode(b"\x89PNG fake compressed bytes", "image")
+
+
+class TestBm25TopK:
+    def test_partition_invariant_and_brute_exact(self, ray_session):
+        import math as m
+
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [
+            " ".join(["hash"] * (i % 4) + ["join"] * (i % 3)
+                     + ["stream"] * (i % 2) + ["filler"] * (i % 7 + 1))
+            for i in range(40)
+        ] + ["", "   "]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(42), pa.int64()),
+             "text": pa.array(texts, pa.string())})
+        a = ts.bm25_topk(ray_session.data.from_arrow(tbl),
+                         k=10).to_pandas()
+        b = ts.bm25_topk(ray_session.data.from_arrow(tbl).repartition(7),
+                         k=10).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+        # brute replay of the scoring formula
+        docs = [(i, t.strip().lower().split()) for i, t in enumerate(texts)
+                if t.strip()]
+        n = len(docs)
+        avgdl = sum(len(tk) for _, tk in docs) / n
+        terms = ts.BM25_TERMS
+        dfs = [sum(1 for _, tk in docs if t in tk) for t in terms]
+        scored = []
+        for i, tk in docs:
+            s = 0.0
+            dl = len(tk)
+            for j, t in enumerate(terms):
+                tf = tk.count(t)
+                idf = m.log(1.0 + (n - dfs[j] + 0.5) / (dfs[j] + 0.5))
+                s = s + (idf * tf * (ts.BM25_K1 + 1.0)
+                         / (tf + ts.BM25_K1
+                            * (1.0 - ts.BM25_B
+                               + ts.BM25_B * dl / avgdl)))
+            if any(t in tk for t in terms):
+                scored.append((i, float(ts.round6(s))))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        want = scored[:10]
+        got = list(zip(a["doc_id"], a["score"]))
+        assert got == want
+        assert list(a["rank"]) == list(range(1, len(want) + 1))
+
+    def test_empty_corpus_typed_empty(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": pa.array(["", "  "], pa.string())})
+        out = ts.bm25_topk(ray_session.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 0
+
+
+class TestPmiBigrams:
+    def test_partition_invariant_and_brute_exact(self, ray_session):
+        import math as m
+        from collections import Counter
+
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [f"a b a c b a {'x y ' * (i % 3)}d" for i in range(30)]
+        texts += ["", " single "]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())})
+        a = ts.pmi_bigrams(ray_session.data.from_arrow(tbl),
+                           min_count=2, k=8).to_pandas()
+        b = ts.pmi_bigrams(
+            ray_session.data.from_arrow(tbl).repartition(5),
+            min_count=2, k=8).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in texts:
+            tk = t.strip().lower().split()
+            uni.update(tk)
+            big.update(zip(tk, tk[1:]))
+        n1 = sum(uni.values())
+        n2 = sum(big.values())
+        scored = []
+        for (w1, w2), c2 in big.items():
+            if c2 < 2:
+                continue
+            pmi = float(ts.round6(
+                m.log(float(c2) * n1 * n1
+                      / (float(uni[w1]) * uni[w2] * n2))))
+            scored.append((w1, w2, c2, pmi))
+        scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = scored[:8]
+        got = list(zip(a["w1"], a["w2"], a["cnt"], a["pmi"]))
+        assert got == want
+
+    def test_empty_corpus_typed_empty(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array([""], pa.string())})
+        out_ds = ts.pmi_bigrams(ray_session.data.from_arrow(tbl))
+        # Dataset schema keeps the typed columns; to_pandas() on any
+        # zero-row dataset is column-less (known Ray behavior)
+        assert out_ds.schema().names == ["w1", "w2", "cnt", "pmi", "rank"]
+        assert len(out_ds.to_pandas()) == 0
