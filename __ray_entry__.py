@@ -585,8 +585,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
     # queries proving the HUGEINT fix + the 21 queries with no r4 row
-    # (all r3-green) + 14 high-value dedup/ANN/join re-validations.
-    # The 22 trailing queries all carry hash-green r4 rows and remain
+    # (all r3-green) + the three never-recorded round-5 additions
+    # (shingle_novelty, bm25_topk, pmi_bigrams) + 12 high-value
+    # dedup/ANN/join re-validations (knn_lsh/knn_ivf rotate out: code
+    # untouched this round and hash-green in r2, r3 AND r4).
+    # The trailing queries all carry hash-green prior-round rows and remain
     # value-checked every run by the in-repo gate replica
     # (tests/test_ray_entry.py), which sweeps ALL entries.
     priority = [
@@ -606,13 +609,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
         "outer_join_orders",
         # new this round, never driver-recorded:
-        "shingle_novelty",
+        "shingle_novelty", "bm25_topk", "pmi_bigrams",
         # high-value dedup/ANN/join re-validations (code touched or
         # bench-flagged this round; exact_dedup rotates out — it holds
         # hash-green rows in all four prior rounds):
         "pack_sequences", "minhash_near_dups", "simhash_near_dups",
-        "dup_groups", "embedding_near_dups",
-        "knn_brute", "knn_lsh", "knn_ivf",
+        "dup_groups", "embedding_near_dups", "knn_brute",
         "asof_join", "range_join", "grouped_topk", "running_totals",
         "cms_heavy_hitters",
     ]
