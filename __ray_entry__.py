@@ -409,6 +409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textstats.quality_scores(_read(sf, "documents", ["doc_id", "text"])),
         "lang_id": lambda sf: textstats.lang_id(_read(sf, "documents", ["doc_id", "text"])),
         "fingerprints": lambda sf: textstats.fingerprints(_read(sf, "documents", ["doc_id", "text"])),
+        "winnow_fingerprints": lambda sf: textstats.winnow_fingerprints(
+            _read(sf, "documents", ["doc_id", "text"])),
+        "temperature_mix": lambda sf: textstats.temperature_mix(
+            textstats.skewed_sources(_read(sf, "documents", ["doc_id"]))),
         "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents", ["doc_id", "text"])),
         # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
         "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents", ["doc_id", "text"])),
@@ -585,10 +589,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
     # queries proving the HUGEINT fix + the 21 queries with no r4 row
-    # (all r3-green) + the three never-recorded round-5 additions
-    # (shingle_novelty, bm25_topk, pmi_bigrams) + 12 high-value
-    # dedup/ANN/join re-validations (knn_lsh/knn_ivf rotate out: code
-    # untouched this round and hash-green in r2, r3 AND r4).
+    # (all r3-green) + the five never-recorded round-5 additions
+    # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
+    # temperature_mix) + 9 high-value dedup/ANN/join re-validations
+    # (knn_lsh/knn_ivf/knn_brute/grouped_topk rotate out: code untouched
+    # this round and hash-green in at least rounds 3 AND 4).
     # The trailing queries all carry hash-green prior-round rows and remain
     # value-checked every run by the in-repo gate replica
     # (tests/test_ray_entry.py), which sweeps ALL entries.
@@ -610,12 +615,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_orders",
         # new this round, never driver-recorded:
         "shingle_novelty", "bm25_topk", "pmi_bigrams",
+        "winnow_fingerprints", "temperature_mix",
         # high-value dedup/ANN/join re-validations (code touched or
         # bench-flagged this round; exact_dedup rotates out — it holds
         # hash-green rows in all four prior rounds):
         "pack_sequences", "minhash_near_dups", "simhash_near_dups",
-        "dup_groups", "embedding_near_dups", "knn_brute",
-        "asof_join", "range_join", "grouped_topk", "running_totals",
+        "dup_groups", "embedding_near_dups",
+        "asof_join", "range_join", "running_totals",
         "cms_heavy_hitters",
     ]
     ordered = {k: q[k] for k in priority}
@@ -648,6 +654,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "fingerprints": textstats.FINGERPRINT_SQL,
+        "winnow_fingerprints": textstats.WINNOW_SQL,
+        "temperature_mix": textstats.TEMPERATURE_MIX_SQL,
         "quality_filter": textstats.QUALITY_FILTER_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dedup_keepers": dedup.DEDUP_KEEPERS_SQL,

@@ -189,6 +189,10 @@ def run_bench() -> dict:
         "media_frames",
         "jaccard_sample",
         "shingle_novelty",
+        "bm25_topk",
+        "pmi_bigrams",
+        "winnow_fingerprints",
+        "temperature_mix",
         "quality_filter",
         "dedup_keepers",
         "extract_align_identity",

@@ -1645,3 +1645,198 @@ def pmi_bigrams(ds: ray.data.Dataset, min_count: int = PMI_MIN_COUNT,
          "pmi": pa.array(pmi[order], pa.float64()),
          "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): hash every K-char gram of the normalized text, slide a
+# W-hash window, and record the window minimum (rightmost position on
+# ties).  Guarantees every substring match of length >= K + W - 1 shares a
+# selected fingerprint, with ~2/(W+1) density — the classic local document
+# fingerprint for plagiarism / near-dup detection, complementing the
+# whole-document md5 of `fingerprints`.
+#
+# Scale shape: winnowing is strictly per-document, so the operator is ONE
+# stateless `map_batches` pass with no exchange; the (doc_id, pos) output
+# is already distinct by construction (one row per selected window
+# position).  Window selection is vectorized (numpy sliding_window_view +
+# one reversed argmin per window row); the md5 per gram is the
+# SQL-replayable determinism contract (same convention as
+# `_narrow_token_rows`), bounded by gram count = normalized chars.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # gram size (chars of the normalized text)
+WINNOW_W = 4   # window size (hashes); guarantee threshold = K + W - 1
+
+WINNOW_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 16))::UBIGINT
+          for i in generate_series(1, len(t) - {WINNOW_K} + 1)] AS hs
+  FROM d WHERE len(t) >= {WINNOW_K}
+),
+w AS (
+  SELECT doc_id,
+         unnest([{{pos: j - 1 + len(hs[j:j + {WINNOW_W - 1}])
+                        - list_position(
+                              list_reverse(hs[j:j + {WINNOW_W - 1}]),
+                              list_min(hs[j:j + {WINNOW_W - 1}])),
+                   fp: list_min(hs[j:j + {WINNOW_W - 1}])}}
+                 for j in generate_series(
+                       1, greatest(len(hs) - {WINNOW_W} + 1, 1))]) AS s
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp FROM w
+"""
+
+
+def winnow_batch(batch: pa.Table, k: int = WINNOW_K,
+                 w: int = WINNOW_W) -> pa.Table:
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+", " ")
+    ids_out: list = []
+    pos_out: list = []
+    fp_out: list = []
+    for doc_id, t in zip(batch["doc_id"].to_pylist(), norm.to_pylist()):
+        m = len(t) - k + 1
+        if m <= 0:
+            continue
+        h = np.empty(m, np.uint64)
+        for i in range(m):
+            h[i] = int.from_bytes(
+                hashlib.md5(t[i:i + k].encode("utf-8")).digest()[:8], "big")
+        if m <= w:
+            # short doc: a single window over every gram
+            pos = np.array([m - 1 - int(np.argmin(h[::-1]))], np.int64)
+        else:
+            v = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost min per window: argmin over the reversed axis
+            rarg = (w - 1) - np.argmin(v[:, ::-1], axis=1)
+            pos = np.unique(
+                np.arange(m - w + 1, dtype=np.int64) + rarg)
+        ids_out.append(np.full(len(pos), doc_id, np.int64))
+        pos_out.append(pos)
+        fp_out.append(h[pos])
+    if not ids_out:
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64()),
+             "fp": pa.array([], pa.uint64())})
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+         "pos": pa.array(np.concatenate(pos_out), pa.int64()),
+         "fp": pa.array(np.concatenate(fp_out), pa.uint64())})
+
+
+def winnow_fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Winnowed local fingerprints: (doc_id, gram position, u64 hash) of
+    each selected window-minimum K-gram.  Embarrassingly parallel — no
+    shuffle; output size ~ 2/(W+1) of the gram count."""
+    return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (the multilingual-pretraining sampling
+# rule, cf. XLM-R §3.1 / mBERT exponent-smoothing, at alpha = 0.5): large
+# sources are downsampled by sqrt(n_min / n_source) so the source
+# distribution is flattened toward the smallest source (kept in full).
+# The uniform draw is the same deterministic md5 fraction as soft_sample,
+# so the kept set is reproducible and SQL-replayable.
+#
+# The shipped corpus's sources are perfectly uniform (rate would be 1.0
+# everywhere), so the driver query PLANTS a deterministic 60/30/10 skew
+# from doc_id arithmetic (`skewed_sources`, the pii_redact planting
+# convention) before mixing; the operator itself is source-agnostic.
+#
+# Scale shape: pass 1 is a per-batch source-count partial (rows per block =
+# source cardinality, tiny) collected to the driver; the rate map is a
+# handful of floats broadcast in the filter closure; pass 2 is one
+# stateless vectorized filter.  No corpus-wide shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+TEMPERATURE_MIX_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'tail' END AS source
+  FROM documents
+),
+c AS (
+  SELECT source, count(*) AS n FROM s GROUP BY source
+),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (
+  SELECT source, sqrt(CAST(m.n_min AS DOUBLE) / n) AS rate
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.source, r.rate
+FROM s d JOIN r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0 < r.rate
+"""
+
+
+def skewed_sources(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Replace `source` with a planted 60/30/10 head/mid/tail split from
+    doc_id arithmetic — gives temperature_mix real skew to flatten on a
+    corpus whose shipped sources are uniform."""
+
+    def remap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mod = ids % 10
+        src = np.where(mod < 6, "head", np.where(mod < 9, "mid", "tail"))
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "source": pa.array(src.tolist(), pa.string())})
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def temperature_mix(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Downsample each source to ~sqrt(n_min/n_source) of its documents
+    (alpha=0.5 temperature flattening), deterministically by md5(doc_id).
+    Returns the kept (doc_id, source, rate) rows."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        src, cnt = np.unique(
+            np.asarray(batch["source"].to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.Table.from_pydict(
+            {"source": pa.array(src.tolist(), pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    # rows per block = source cardinality (a corpus has a handful of
+    # sources) — bounded driver collect, summed locally
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    if "source" not in parts.columns or len(parts) == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string()),
+             "rate": pa.array([], pa.float64())}))
+    counts = parts.groupby("source")["n"].sum()
+    n_min = int(counts.min())
+    # expression shape mirrors the SQL: sqrt(double(n_min) / n)
+    rates = {s: math.sqrt(float(n_min) / int(n)) for s, n in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        # md5 per key is the determinism contract (soft_sample convention)
+        frac = np.array(
+            [int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big")
+             for i in ids], np.float64) / 4294967296.0
+        rate = np.array([rates[s] for s in srcs], np.float64)
+        m = frac < rate
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(np.asarray(ids, np.int64)[m], pa.int64()),
+             "source": pa.array(
+                 [s for s, k in zip(srcs, m) if k], pa.string()),
+             "rate": pa.array(rate[m], pa.float64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

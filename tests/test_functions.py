@@ -1480,3 +1480,150 @@ class TestPmiBigrams:
         # zero-row dataset is column-less (known Ray behavior)
         assert out_ds.schema().names == ["w1", "w2", "cnt", "pmi", "rank"]
         assert len(out_ds.to_pandas()) == 0
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _brute(doc_id, text, k, w):
+        import hashlib as hl
+
+        t = " ".join(text.strip().lower().split())
+        m = len(t) - k + 1
+        if m <= 0:
+            return set()
+        hs = [int.from_bytes(hl.md5(t[i:i + k].encode()).digest()[:8], "big")
+              for i in range(m)]
+        out = set()
+        for j in range(max(m - w + 1, 1)):
+            win = hs[j:j + w]
+            mn = min(win)
+            # rightmost minimum (the winnowing tie rule)
+            pos = j + max(i for i, h in enumerate(win) if h == mn)
+            out.add((doc_id, pos, hs[pos]))
+        return out
+
+    def test_brute_exact_and_partition_invariant(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "aaaaaaaaaaaaaaaa",  # all grams identical: every window ties
+            "Mixed  CASE and   runs\tof whitespace in here",
+            "xy",                # shorter than a gram: no fingerprints
+            "exactgram",         # one gram over the K boundary
+            "justovergram",      # K <= len < K + W - 1: single window
+            "",
+        ]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())})
+        a = ts.winnow_fingerprints(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        b = ts.winnow_fingerprints(
+            ray_session.data.from_arrow(tbl).repartition(5)).to_pandas()
+        # frame-wide to_numpy() would coerce the uint64 fp column to
+        # float64 (lossy) — compare typed per-column tuples
+        key = lambda df: sorted(zip((int(x) for x in df["doc_id"]),
+                                    (int(x) for x in df["pos"]),
+                                    (int(x) for x in df["fp"])))
+        assert key(a) == key(b)
+        want = set()
+        for i, t in enumerate(texts):
+            want |= self._brute(i, t, ts.WINNOW_K, ts.WINNOW_W)
+        assert set(key(a)) == want
+        # no rows for the sub-gram-length docs
+        assert 3 not in set(a["doc_id"]) and 6 not in set(a["doc_id"])
+
+    def test_shared_substring_guarantee(self, ray_session):
+        # any common substring of length >= K + W - 1 must share a
+        # selected fingerprint (the winnowing guarantee)
+        from nmalign_ray.functions import textstats as ts
+
+        shared = "zqvjxkwpbmfgds"  # K + W - 1 = 11 < len
+        assert len(shared) >= ts.WINNOW_K + ts.WINNOW_W - 1
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([0, 1], pa.int64()),
+             "text": pa.array([f"left pad {shared} tail one",
+                               f"completely other {shared} prose"],
+                              pa.string())})
+        out = ts.winnow_fingerprints(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        f0 = set(out[out["doc_id"] == 0]["fp"])
+        f1 = set(out[out["doc_id"] == 1]["fp"])
+        assert f0 & f1
+
+    def test_empty_corpus_typed_empty(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array([""], pa.string())})
+        out_ds = ts.winnow_fingerprints(ray_session.data.from_arrow(tbl))
+        assert out_ds.schema().names == ["doc_id", "pos", "fp"]
+        assert len(out_ds.to_pandas()) == 0
+
+
+class TestTemperatureMix:
+    def test_brute_exact_and_partition_invariant(self, ray_session):
+        import hashlib as hl
+        import math as m
+
+        from nmalign_ray.functions import textstats as ts
+
+        n = 200
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(n), pa.int64()),
+             "source": pa.array(
+                 ["big" if i % 10 < 7 else ("mid" if i % 10 < 9 else "sm")
+                  for i in range(n)], pa.string())})
+        a = ts.temperature_mix(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        b = ts.temperature_mix(
+            ray_session.data.from_arrow(tbl).repartition(7)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+        counts = {"big": 140, "mid": 40, "sm": 20}
+        rates = {s: m.sqrt(float(20) / c) for s, c in counts.items()}
+        want = []
+        for i in range(n):
+            s = ("big" if i % 10 < 7 else ("mid" if i % 10 < 9 else "sm"))
+            frac = int.from_bytes(
+                hl.md5(str(i).encode()).digest()[:4], "big") / 2 ** 32
+            if frac < rates[s]:
+                want.append((i, s, rates[s]))
+        assert key(a) == sorted(want)
+        # the small source survives in full (rate exactly 1.0)
+        assert set(a[a["source"] == "sm"]["doc_id"]) == {
+            i for i in range(n) if i % 10 >= 9}
+
+    def test_uniform_sources_keep_everything(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(40), pa.int64()),
+             "source": pa.array([f"s{i % 4}" for i in range(40)],
+                                pa.string())})
+        out = ts.temperature_mix(ray_session.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 40 and (out["rate"] == 1.0).all()
+
+    def test_skewed_sources_remap(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(30), pa.int64())})
+        out = ts.skewed_sources(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        got = dict(zip(out["doc_id"], out["source"]))
+        for i in range(30):
+            assert got[i] == ("head" if i % 10 < 6
+                              else "mid" if i % 10 < 9 else "tail")
+
+    def test_empty_corpus_typed_empty(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string())})
+        out_ds = ts.temperature_mix(ray_session.data.from_arrow(tbl))
+        assert out_ds.schema().names == ["doc_id", "source", "rate"]
+        assert len(out_ds.to_pandas()) == 0
