@@ -260,3 +260,71 @@ def test_codecs_never_crash_on_prefixed_garbage(payload):
     try_decode_ppm(b"P6\n" + payload)
     try_decode_wav(b"RIFF" + payload)
     try_decode_wav(b"RIFF\x10\x00\x00\x00WAVE" + payload)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint properties (no Ray session needed: winnow_batch is a
+# pure Arrow-in/Arrow-out function).  A 3-letter alphabet forces repeated
+# grams, so the rightmost tie rule is exercised constantly.
+# ---------------------------------------------------------------------------
+
+winnow_texts = st.text(alphabet="ab ", min_size=0, max_size=120)
+
+
+def _winnow_brute(text, k, w):
+    import hashlib as hl
+
+    t = " ".join(text.strip().lower().split())
+    m = len(t) - k + 1
+    if m <= 0:
+        return set()
+    hs = [int.from_bytes(hl.md5(t[i:i + k].encode()).digest()[:8], "big")
+          for i in range(m)]
+    out = set()
+    for j in range(max(m - w + 1, 1)):
+        win = hs[j:j + w]
+        mn = min(win)
+        pos = j + max(i for i, h in enumerate(win) if h == mn)
+        out.add((pos, hs[pos]))
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(text=winnow_texts)
+def test_winnow_matches_brute(text):
+    import pyarrow as pa
+
+    from nmalign_ray.functions import textstats as ts
+
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([7], pa.int64()),
+         "text": pa.array([text], pa.string())})
+    got = ts.winnow_batch(batch)
+    got_set = set(zip((int(x) for x in got["pos"].to_pylist()),
+                      (int(x) for x in got["fp"].to_pylist())))
+    assert got_set == _winnow_brute(text, ts.WINNOW_K, ts.WINNOW_W)
+
+
+@settings(max_examples=40, deadline=None)
+@given(shared=st.text(alphabet="xyzq", min_size=11, max_size=30),
+       pre_a=st.text(alphabet="ab ", min_size=0, max_size=20),
+       pre_b=st.text(alphabet="cd ", min_size=0, max_size=20))
+def test_winnow_shared_substring_guarantee(shared, pre_a, pre_b):
+    # the winnowing guarantee: a common substring of >= K + W - 1 chars
+    # (in the NORMALIZED space — the shared block has no whitespace, so
+    # normalization cannot shorten it) yields a shared fingerprint
+    import pyarrow as pa
+
+    from nmalign_ray.functions import textstats as ts
+
+    assert len(shared) >= ts.WINNOW_K + ts.WINNOW_W - 1
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([f"{pre_a} {shared} tail", f"{pre_b} {shared}"],
+                          pa.string())})
+    out = ts.winnow_batch(batch)
+    ids = out["doc_id"].to_pylist()
+    fps = out["fp"].to_pylist()
+    f0 = {f for i, f in zip(ids, fps) if i == 0}
+    f1 = {f for i, f in zip(ids, fps) if i == 1}
+    assert f0 & f1
