@@ -100,15 +100,26 @@ FROM documents
 """
 
 
+def _norm_text(col) -> pa.ChunkedArray:
+    """The shared ``regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')``
+    normalization — ONE definition keeps every normalization-based
+    operator (normalize_docs, fingerprints, winnow_fingerprints) pinned
+    to the same SQL form.  ``utf8_trim(characters=" ")`` matches DuckDB
+    ``trim()`` exactly (spaces only — NOT ``utf8_trim_whitespace``,
+    whose Unicode class diverges from trim() on tab/NBSP-edged docs),
+    and both regex engines are RE2, so parity holds on ANY input, not
+    just the whitespace-clean shipped corpus."""
+    return pc.replace_substring_regex(
+        pc.utf8_trim(pc.utf8_lower(col), " "), r"\s+", " ")
+
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """The engine's stateless normalize operator (reference A2,
     ``/root/reference/nmalign/lib/align.py:54-59``) in its SQL-checkable
     form: lowercase + whitespace collapse (NFKC has no DuckDB twin; the
     full regex+NFKC program runs inside the aligner via
     ``make_preprocessor``)."""
-    norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+", " "
-    )
+    norm = _norm_text(batch["text"])
     return pa.Table.from_arrays([batch["doc_id"], norm], ["doc_id", "norm_text"])
 
 
@@ -268,9 +279,7 @@ FROM documents
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+", " "
-    )
+    norm = _norm_text(batch["text"])
     fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
     return pa.Table.from_pydict({"doc_id": batch["doc_id"], "fingerprint": fps})
 
@@ -1696,8 +1705,7 @@ SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp FROM w
 
 def winnow_batch(batch: pa.Table, k: int = WINNOW_K,
                  w: int = WINNOW_W) -> pa.Table:
-    norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+", " ")
+    norm = _norm_text(batch["text"])
     ids_out: list = []
     pos_out: list = []
     fp_out: list = []
@@ -1810,6 +1818,10 @@ def temperature_mix(ds: ray.data.Dataset) -> ray.data.Dataset:
             {"source": pa.array(src.tolist(), pa.string()),
              "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
+    # materialized ONCE: consumed by the count pass and the filter pass
+    # (a lazy ds consumed twice re-runs its whole upstream plan — the
+    # cms_heavy_hitters round-4 regression; bm25_topk convention)
+    ds = ds.materialize()
     # rows per block = source cardinality (a corpus has a handful of
     # sources) — bounded driver collect, summed locally
     parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()

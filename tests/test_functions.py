@@ -1485,22 +1485,9 @@ class TestPmiBigrams:
 class TestWinnowFingerprints:
     @staticmethod
     def _brute(doc_id, text, k, w):
-        import hashlib as hl
+        from winnow_ref import winnow_brute
 
-        t = " ".join(text.strip().lower().split())
-        m = len(t) - k + 1
-        if m <= 0:
-            return set()
-        hs = [int.from_bytes(hl.md5(t[i:i + k].encode()).digest()[:8], "big")
-              for i in range(m)]
-        out = set()
-        for j in range(max(m - w + 1, 1)):
-            win = hs[j:j + w]
-            mn = min(win)
-            # rightmost minimum (the winnowing tie rule)
-            pos = j + max(i for i, h in enumerate(win) if h == mn)
-            out.add((doc_id, pos, hs[pos]))
-        return out
+        return {(doc_id, pos, fp) for pos, fp in winnow_brute(text, k, w)}
 
     def test_brute_exact_and_partition_invariant(self, ray_session):
         from nmalign_ray.functions import textstats as ts
@@ -1509,6 +1496,7 @@ class TestWinnowFingerprints:
             "the quick brown fox jumps over the lazy dog",
             "aaaaaaaaaaaaaaaa",  # all grams identical: every window ties
             "Mixed  CASE and   runs\tof whitespace in here",
+            "\ttab-edged doc body with enough length\t",
             "xy",                # shorter than a gram: no fingerprints
             "exactgram",         # one gram over the K boundary
             "justovergram",      # K <= len < K + W - 1: single window
@@ -1531,8 +1519,8 @@ class TestWinnowFingerprints:
         for i, t in enumerate(texts):
             want |= self._brute(i, t, ts.WINNOW_K, ts.WINNOW_W)
         assert set(key(a)) == want
-        # no rows for the sub-gram-length docs
-        assert 3 not in set(a["doc_id"]) and 6 not in set(a["doc_id"])
+        # no rows for the sub-gram-length docs ("xy" and "")
+        assert 4 not in set(a["doc_id"]) and 7 not in set(a["doc_id"])
 
     def test_shared_substring_guarantee(self, ray_session):
         # any common substring of length >= K + W - 1 must share a

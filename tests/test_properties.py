@@ -268,25 +268,14 @@ def test_codecs_never_crash_on_prefixed_garbage(payload):
 # grams, so the rightmost tie rule is exercised constantly.
 # ---------------------------------------------------------------------------
 
-winnow_texts = st.text(alphabet="ab ", min_size=0, max_size=120)
+winnow_texts = st.text(alphabet="ab \t", min_size=0, max_size=120)
+
+
+from winnow_ref import winnow_brute as _winnow_brute_shared
 
 
 def _winnow_brute(text, k, w):
-    import hashlib as hl
-
-    t = " ".join(text.strip().lower().split())
-    m = len(t) - k + 1
-    if m <= 0:
-        return set()
-    hs = [int.from_bytes(hl.md5(t[i:i + k].encode()).digest()[:8], "big")
-          for i in range(m)]
-    out = set()
-    for j in range(max(m - w + 1, 1)):
-        win = hs[j:j + w]
-        mn = min(win)
-        pos = j + max(i for i, h in enumerate(win) if h == mn)
-        out.add((pos, hs[pos]))
-    return out
+    return _winnow_brute_shared(text, k, w)
 
 
 @settings(max_examples=80, deadline=None)
