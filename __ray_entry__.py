@@ -414,6 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": lambda sf: textstats.temperature_mix(
             textstats.skewed_sources(_read(sf, "documents", ["doc_id"]))),
         "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents", ["doc_id", "text"])),
+        "doc_perplexity": lambda sf: textstats.doc_perplexity(
+            _read(sf, "documents", ["doc_id", "text"])),
+        "stratified_split": lambda sf: textstats.stratified_split(
+            _read(sf, "documents", ["doc_id", "source"])),
         # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
         "exact_dedup": lambda sf: dedup.exact_dedup(_read(sf, "documents", ["doc_id", "text"])),
         "dedup_keepers": lambda sf: dedup.dedup_keepers(_read(sf, "documents", ["doc_id", "text", "n_chars"])),
@@ -433,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             simsearch.augment_with_planted(
                 _read(sf, "embeddings", ["vec_id", "embedding"])
             )
+        ),
+        "semdedup": lambda sf: simsearch.semdedup(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
         # --- relational coverage (SQL-verified) ---
         "pricing_summary": lambda sf: relational.pricing_summary(_read(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])),
@@ -588,12 +595,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Driver window rotation (round 5): the driver records EXACTLY the
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
-    # queries proving the HUGEINT fix + the 21 queries with no r4 row
-    # (all r3-green) + the five never-recorded round-5 additions
+    # queries proving the HUGEINT fix + 20 of the queries with no r4 row
+    # (all r3-green) + the eight never-recorded round-5 additions
     # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
-    # temperature_mix) + 9 high-value dedup/ANN/join re-validations
-    # (knn_lsh/knn_ivf/knn_brute/grouped_topk rotate out: code untouched
-    # this round and hash-green in at least rounds 3 AND 4).
+    # temperature_mix, semdedup, doc_perplexity, stratified_split)
+    # + 7 high-value dedup/ANN/join re-validations.  Rotated out to make
+    # room, each untouched this round beyond a shared-helper rename and
+    # hash-green in at least one prior round: knn_lsh/knn_ivf/knn_brute/
+    # grouped_topk (r3+r4 rows), range_join/running_totals/
+    # hourly_distinct (r3 rows).
     # The trailing queries all carry hash-green prior-round rows and remain
     # value-checked every run by the in-repo gate replica
     # (tests/test_ray_entry.py), which sweeps ALL entries.
@@ -610,19 +620,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter", "pricing_summary", "segment_revenue",
         "inactive_customers", "top_orders", "nation_revenue",
         "hourly_events", "sliding_events", "sessionize",
-        "global_quantiles", "sampled_quantiles", "hourly_distinct",
+        "global_quantiles", "sampled_quantiles",
         "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
         "outer_join_orders",
         # new this round, never driver-recorded:
         "shingle_novelty", "bm25_topk", "pmi_bigrams",
         "winnow_fingerprints", "temperature_mix",
+        "semdedup", "doc_perplexity", "stratified_split",
         # high-value dedup/ANN/join re-validations (code touched or
         # bench-flagged this round; exact_dedup rotates out — it holds
         # hash-green rows in all four prior rounds):
         "pack_sequences", "minhash_near_dups", "simhash_near_dups",
         "dup_groups", "embedding_near_dups",
-        "asof_join", "range_join", "running_totals",
-        "cms_heavy_hitters",
+        "asof_join", "cms_heavy_hitters",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -668,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": simsearch.KNN_LSH_SQL,
         "knn_ivf": simsearch.KNN_IVF_SQL,
         "embedding_near_dups": simsearch.EMBEDDING_NEAR_DUPS_SQL,
+        "semdedup": simsearch.SEMDEDUP_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "segment_revenue": relational.SEGMENT_REVENUE_SQL,
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
@@ -699,6 +710,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": textstats.HASH_SAMPLE_SQL,
         "pii_redact": textstats.PII_REDACT_SQL,
         "gopher_signals": textstats.GOPHER_SIGNALS_SQL,
+        "doc_perplexity": textstats.DOC_PERPLEXITY_SQL,
+        "stratified_split": textstats.STRATIFIED_SPLIT_SQL,
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "chunk_dedup": dedup.CHUNK_DEDUP_SQL,
         "decontaminate": dedup.DECONTAMINATE_SQL,

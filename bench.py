@@ -193,6 +193,9 @@ def run_bench() -> dict:
         "pmi_bigrams",
         "winnow_fingerprints",
         "temperature_mix",
+        "semdedup",
+        "doc_perplexity",
+        "stratified_split",
         "quality_filter",
         "dedup_keepers",
         "extract_align_identity",

@@ -789,3 +789,120 @@ def embed_knn(docs: ray.data.Dataset, k: int = DEFAULT_K,
     # twice per invocation.  The embedded table is skinny (dim doubles
     # per row), so pinning is cheap at any scale.
     return knn_brute(embedded, k=k, num_queries=num_queries)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space with a coarse quantizer,
+# then drop near-identical items WITHIN each cluster — the quadratic
+# pairwise pass runs per cluster, never corpus-wide, which is the whole
+# point of the method at scale.  The quantizer here is the same
+# SQL-reproducible pivot rule as knn_ivf (data rows at
+# vec_id % 37 == 1 under the cap, argmax cosine, first-max ties), so the
+# DuckDB twin recomputes assignment AND verdicts exactly; a trained
+# k-means quantizer slots into the same broadcast without touching the
+# dedup pass.  Keep rule: an item is dropped iff some SAME-CLUSTER item
+# with a smaller vec_id sits at cosine >= threshold (the reference
+# corpus's planted pairs are at >= 0.9987, natural pairs top out ~0.51,
+# so the 0.99 gate has a wide float margin on both sides).
+#
+# 100-TB shape: pivots are driver-tiny and broadcast once via ray.put;
+# assignment is a stateless vectorized map; the only exchange is a
+# groupby on the cluster id, whose cardinality is the quantizer's K —
+# at real scale K is chosen ~ N / target_cluster_size (the paper uses
+# tens of thousands), keeping both the exchange fan-in and the
+# per-cluster pairwise cost bounded.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + {NEARDUP_PLANT_OFFSET},
+         list_concat([v[1] + {NEARDUP_PLANT_DELTA}], v[2:])
+  FROM e WHERE vec_id < {NEARDUP_PLANT_COUNT}
+),
+pivots AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS pv
+  FROM e
+  WHERE vec_id % {IVF_PIVOT_MOD} = 1 AND vec_id < {IVF_PIVOT_CAP}
+  ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT a.vec_id, a.v, p.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, p.pv) DESC, p.cid) AS rn
+    FROM aug a, pivots p
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+   AND list_cosine_similarity(a.v, b.v) >= {NEARDUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+
+def semdedup(ds: ray.data.Dataset,
+             threshold: float = NEARDUP_THRESHOLD) -> ray.data.Dataset:
+    """Semantic dedup over the planted near-dup fixture: every row gets
+    (vec_id, cluster, keep).  ``ds`` is the raw embeddings table; the
+    planted copies are appended here (same fixture as
+    ``embedding_near_dups`` — the raw table has nothing above ~0.51)."""
+    aug = augment_with_planted(ds).materialize()
+    # materialize: the augmented table feeds BOTH the pivot collect and
+    # the assignment scan — without pinning, the lazy union would
+    # re-execute per consumer (the recurring double-consume trap)
+
+    def pivot_rows(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % IVF_PIVOT_MOD == 1) & (ids < IVF_PIVOT_CAP)
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    piv_tbl = aug.map_batches(pivot_rows, batch_format="pyarrow").to_pandas()
+    piv_tbl = piv_tbl.sort_values("vec_id").head(IVF_CLUSTERS)
+    cents = _normalize_rows(
+        np.stack(piv_tbl["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        emb = _normalize_rows(_stack_embeddings(batch))
+        # argmax keeps the FIRST max — the SQL row_number's (cos DESC,
+        # cid ASC) tie rule; same proven pairing as knn_ivf's quantizer
+        cid = np.argmax(emb @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cid, pa.int64()))
+
+    def mark(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize_rows(_stack_embeddings(group))
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order]
+        dup = np.zeros(len(ids), dtype=bool)
+        # anchors are NOT skipped when themselves duplicated — the SQL
+        # rule marks b on ANY smaller-id match, duplicated or not
+        for i in range(len(ids) - 1):
+            sims = emb[i] @ emb[i + 1:].T
+            dup[i + 1:] |= sims >= threshold
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": group["cluster"].combine_chunks().take(
+                 pa.array(order, pa.int64())),
+             "keep": pa.array(~dup, pa.bool_())}
+        )
+
+    # cluster cardinality = the quantizer's K (bounded by construction),
+    # so a per-cluster group is a bounded-fan-in exchange, not the
+    # per-key-dispatch trap
+    return aug.map_batches(assign, batch_format="pyarrow").groupby(
+        "cluster", num_partitions=IVF_CLUSTERS
+    ).map_groups(mark, batch_format="pyarrow")

@@ -1852,3 +1852,208 @@ def temperature_mix(ds: ray.data.Dataset) -> ray.data.Dataset:
              "rate": pa.array(rate[m], pa.float64())})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Language-model quality scoring (the CCNet shape — Wenzek et al. 2020,
+# arXiv:1911.00359): score every document by its perplexity under a
+# corpus-trained unigram LM.  Two passes: (1) the vocabulary-sized token
+# count aggregate (top_terms' partial-pre-aggregation shape) collects the
+# LM driver-side under the vocab gate and broadcasts it ONCE via ray.put
+# — exactly how CCNet ships its KenLM binary to workers; (2) a stateless
+# vectorized-per-batch scoring map.  No shuffle touches corpus-sized
+# rows.
+#
+# Float parity contract with the DuckDB twin (each piece verified
+# bit-exact on this host): log2 must be math.log2 (DuckDB calls libm;
+# numpy's SIMD log2 diverges in the last ulp), the per-document sum must
+# be SEQUENTIAL over terms ordered by token (DuckDB list_sum is a plain
+# left-to-right fold — numpy's pairwise np.sum diverges), and the final
+# 2^-avg goes through round6 (DuckDB pow is NOT libm pow).  The per-doc
+# Python cost is one dict lookup + one multiply per DISTINCT token —
+# vocabulary-bounded, not corpus-bounded.
+# ---------------------------------------------------------------------------
+
+DOC_PERPLEXITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+lm AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lm),
+dt AS (SELECT doc_id, t, count(*) AS nt FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT dt.doc_id,
+         list_sum(list(CAST(dt.nt AS DOUBLE)
+                       * log2(CAST(lm.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                       ORDER BY dt.t)) AS s,
+         CAST(sum(dt.nt) AS BIGINT) AS n_tokens
+  FROM dt JOIN lm USING (t), tot
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.s / CAST(a.n_tokens AS DOUBLE), 0.0) AS avg_logprob2,
+       round(CASE WHEN a.doc_id IS NULL THEN 1.0
+                  ELSE pow(2.0, -(a.s / CAST(a.n_tokens AS DOUBLE))) END,
+             6) AS perplexity
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def doc_perplexity(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, avg_logprob2, perplexity) under the corpus
+    unigram LM.  Empty documents score avg 0.0 / perplexity 1.0.  The LM
+    has no OOV mass because it is trained on the scored corpus itself;
+    a held-out deployment would add-one-smooth the counts in ``lm``
+    (one line in both twins)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            counts.update(text.strip().lower().split())
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    vocab = _vocab_pandas(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("cnt", alias_name="cnt")),
+        "doc_perplexity")
+    total = int(vocab["cnt"].sum())
+    logp = {t: math.log2(int(c) / float(total))
+            for t, c in zip(vocab["term"], vocab["cnt"])}
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        n_toks, avgs, ppls = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = text.strip().lower().split()
+            n = len(toks)
+            n_toks.append(n)
+            if n == 0:
+                avgs.append(0.0)
+                ppls.append(1.0)
+                continue
+            s = 0.0
+            # sequential fold over token-sorted terms = DuckDB's
+            # list_sum(list(term ORDER BY t)) bit-for-bit
+            for t, nt in sorted(Counter(toks).items()):
+                s += float(nt) * lm[t]
+            avg = s / float(n)
+            avgs.append(avg)
+            ppls.append(2.0 ** (-avg))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n_toks, pa.int64()),
+             "avg_logprob2": pa.array(avgs, pa.float64()),
+             "perplexity": pa.array(round6(np.array(ppls)), pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/val/test split: EXACT 80/10/10 proportions inside
+# every stratum (source), not just in expectation — each source's
+# documents are totally ordered by md5(doc_id) (the repo's deterministic
+# uniform draw) and cut at the integer boundaries rank*10 < n*8 / n*9.
+# Scale shape: a narrow (source, doc_id, hkey) projection is globally
+# sorted, per-source block prefix counts flow to the driver (sources x
+# blocks SCALARS, never rows — the block_prefix_offsets scaffold
+# generalized per stratum), and each block assigns its ranks in a
+# remote task.  All the split arithmetic is int64, so the twin is exact
+# by construction.
+# ---------------------------------------------------------------------------
+
+STRATIFIED_SPLIT_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS strat_rank,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(strat_rank AS BIGINT) AS strat_rank,
+       CASE WHEN strat_rank * 10 < n * 8 THEN 'train'
+            WHEN strat_rank * 10 < n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+def stratified_split(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, source, strat_rank, split) with exact per-source 80/10/10
+    proportions; the md5 order makes the assignment stable run-to-run."""
+    import ray
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {"source": batch["source"].combine_chunks().cast(pa.string()),
+             "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+             "hkey": pa.array(
+                 [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                 pa.string())})
+
+    sorted_ds = ds.map_batches(narrow, batch_format="pyarrow").sort(
+        ["source", "hkey", "doc_id"])
+    refs = [r for r in sorted_ds.to_arrow_refs()]
+
+    @ray.remote
+    def _src_counts(tbl: pa.Table) -> dict:
+        if tbl.num_rows == 0:  # empty shuffle blocks can be COLUMN-LESS
+            return {}
+        # the block is sorted, so counts per source = run lengths
+        src = np.asarray(tbl["source"].to_pylist())
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        return {s: int(e - b) for s, b, e in zip(src[starts], starts, ends)}
+
+    per_block = ray.get([_src_counts.remote(r) for r in refs])
+    totals: dict = {}
+    prefixes = []
+    for counts in per_block:  # blocks arrive in global sort order
+        prefixes.append({s: totals.get(s, 0) for s in counts})
+        for s, c in counts.items():
+            totals[s] = totals.get(s, 0) + c
+
+    @ray.remote
+    def _assign(tbl: pa.Table, prefix: dict, totals: dict) -> pa.Table:
+        if tbl.num_rows == 0:  # empty shuffle blocks can be COLUMN-LESS
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "strat_rank": pa.array([], pa.int64()),
+                 "split": pa.array([], pa.string())})
+        src = np.asarray(tbl["source"].to_pylist())
+        n = len(src)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        run_start = np.repeat(starts, np.r_[starts[1:], n] - starts)
+        base = np.repeat(
+            np.array([prefix[s] for s in src[starts]], np.int64),
+            np.r_[starts[1:], n] - starts)
+        rank = base + (np.arange(n, dtype=np.int64) - run_start)
+        n_s = np.repeat(
+            np.array([totals[s] for s in src[starts]], np.int64),
+            np.r_[starts[1:], n] - starts)
+        split = np.where(rank * 10 < n_s * 8, "train",
+                         np.where(rank * 10 < n_s * 9, "val", "test"))
+        return pa.Table.from_pydict(
+            {"doc_id": tbl["doc_id"],
+             "source": tbl["source"],
+             "strat_rank": pa.array(rank, pa.int64()),
+             "split": pa.array(split.tolist(), pa.string())})
+
+    tot_ref = ray.put(totals)
+    out = [_assign.remote(r, p, tot_ref)
+           for r, p in zip(refs, prefixes)]
+    return ray.data.from_arrow_refs(out)

@@ -1615,3 +1615,144 @@ class TestTemperatureMix:
         out_ds = ts.temperature_mix(ray_session.data.from_arrow(tbl))
         assert out_ds.schema().names == ["doc_id", "source", "rate"]
         assert len(out_ds.to_pandas()) == 0
+
+
+class TestSemdedup:
+    def _emb_table(self, vecs, ids=None):
+        n = len(vecs)
+        ids = list(range(n)) if ids is None else ids
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(
+                 [list(map(float, v)) for v in vecs],
+                 pa.list_(pa.float32()))})
+
+    def test_planted_copies_dropped_original_kept(self, ray_session):
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((80, 64))
+        ds = ray_session.data.from_arrow(self._emb_table(vecs))
+        out = simsearch.semdedup(ds).to_pandas().set_index("vec_id")
+        # the fixture plants jittered copies of vec_id < 32 at id+1e6;
+        # every planted row that lands in its source's cluster must be
+        # dropped (source id < copy id), and the source itself kept
+        # unless it near-dups an even smaller id
+        n_planted = (out.index >= 1_000_000).sum()
+        assert n_planted == 32
+        n_dropped = 0
+        for vid in out.index[out.index >= 1_000_000]:
+            src = vid - 1_000_000
+            if out.loc[src, "cluster"] == out.loc[vid, "cluster"]:
+                # same-cluster copy: the smaller-id source wins
+                assert not out.loc[vid, "keep"]
+                n_dropped += 1
+        assert n_dropped > 0 and not out["keep"].all()
+        assert len(out) == 80 + 32
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.default_rng(12)
+        vecs = rng.standard_normal((60, 64))
+        tbl = self._emb_table(vecs)
+        a = simsearch.semdedup(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        b = simsearch.semdedup(
+            ray_session.data.from_arrow(tbl).repartition(5)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+
+    def test_identical_vectors_keep_min_id(self, ray_session):
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal(64)
+        others = rng.standard_normal((40, 64))
+        vecs = np.vstack([others, base, base, base])
+        # ids chosen so no planted fixture row collides (< 32 plants too,
+        # but the triple sits above them)
+        ds = ray_session.data.from_arrow(self._emb_table(vecs))
+        out = simsearch.semdedup(ds).to_pandas().set_index("vec_id")
+        trip = out.loc[[40, 41, 42]]
+        assert trip["cluster"].nunique() == 1
+        assert bool(trip.loc[40, "keep"])
+        assert not trip.loc[41, "keep"] and not trip.loc[42, "keep"]
+
+
+class TestDocPerplexity:
+    def test_hand_computed_tiny_corpus(self, ray_session):
+        import math
+
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["a a b", "b c", ""]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        out = ts.doc_perplexity(ds).to_pandas().set_index("doc_id")
+        # LM: a=2, b=2, c=1, N=5
+        la, lb, lc = (math.log2(2 / 5), math.log2(2 / 5), math.log2(1 / 5))
+        s0 = 2.0 * la + 1.0 * lb          # terms ordered a < b
+        s1 = 1.0 * lb + 1.0 * lc
+        assert out.loc[0, "n_tokens"] == 3
+        assert out.loc[0, "avg_logprob2"] == s0 / 3.0
+        assert out.loc[1, "avg_logprob2"] == s1 / 2.0
+        assert out.loc[2, "n_tokens"] == 0
+        assert out.loc[2, "avg_logprob2"] == 0.0
+        assert out.loc[2, "perplexity"] == 1.0
+        # repeated boilerplate scores LOWER perplexity than rare text
+        assert out.loc[0, "perplexity"] < out.loc[1, "perplexity"]
+
+    def test_partition_invariant(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [f"tok{i % 7} tok{i % 3} tok{i % 11} filler" for i in
+                 range(60)]
+        tbl = docs_table(texts)
+        a = ts.doc_perplexity(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        b = ts.doc_perplexity(
+            ray_session.data.from_arrow(tbl).repartition(6)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+
+
+class TestStratifiedSplit:
+    def test_exact_proportions_per_stratum(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        n = 300
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(n), pa.int64()),
+             "source": pa.array([f"s{i % 3}" for i in range(n)],
+                                pa.string())})
+        out = ts.stratified_split(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == n
+        for s, grp in out.groupby("source"):
+            ns = len(grp)
+            counts = grp["split"].value_counts()
+            # rank*10 < n*8 / n*9 boundaries — exact, not in-expectation
+            want_train = sum(1 for r in range(ns) if r * 10 < ns * 8)
+            want_val = sum(1 for r in range(ns)
+                           if ns * 8 <= r * 10 < ns * 9)
+            assert counts.get("train", 0) == want_train
+            assert counts.get("val", 0) == want_val
+            assert sorted(grp["strat_rank"]) == list(range(ns))
+
+    def test_partition_invariant_and_stable(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(120), pa.int64()),
+             "source": pa.array(["x" if i % 2 else "y" for i in
+                                 range(120)], pa.string())})
+        a = ts.stratified_split(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        b = ts.stratified_split(
+            ray_session.data.from_arrow(tbl).repartition(7)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+
+    def test_empty_input_typed(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string())})
+        out = ts.stratified_split(ray_session.data.from_arrow(tbl))
+        df = out.to_pandas()
+        assert len(df) == 0
