@@ -416,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": lambda sf: textstats.quality_filter(_read(sf, "documents", ["doc_id", "text"])),
         "doc_perplexity": lambda sf: textstats.doc_perplexity(
             _read(sf, "documents", ["doc_id", "text"])),
+        "dsir_sample": lambda sf: textstats.dsir_sample(
+            _read(sf, "documents", ["doc_id", "text", "lang"])),
         "stratified_split": lambda sf: textstats.stratified_split(
             _read(sf, "documents", ["doc_id", "source"])),
         # --- dedup (exact + sample SQL-verified; sketches rows-only) ---
@@ -595,15 +597,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Driver window rotation (round 5): the driver records EXACTLY the
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
-    # queries proving the HUGEINT fix + 20 of the queries with no r4 row
-    # (all r3-green) + the eight never-recorded round-5 additions
+    # queries proving the HUGEINT fix + 19 of the queries with no r4 row
+    # (all r3-green) + the nine never-recorded round-5 additions
     # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
-    # temperature_mix, semdedup, doc_perplexity, stratified_split)
+    # temperature_mix, semdedup, doc_perplexity, stratified_split,
+    # dsir_sample)
     # + 7 high-value dedup/ANN/join re-validations.  Rotated out to make
     # room, each untouched this round beyond a shared-helper rename and
     # hash-green in at least one prior round: knn_lsh/knn_ivf/knn_brute/
     # grouped_topk (r3+r4 rows), range_join/running_totals/
-    # hourly_distinct (r3 rows).
+    # hourly_distinct (r3 rows), sliding_events (r1+r2+r3 rows).
     # The trailing queries all carry hash-green prior-round rows and remain
     # value-checked every run by the in-repo gate replica
     # (tests/test_ray_entry.py), which sweeps ALL entries.
@@ -619,14 +622,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts", "quality_scores", "lang_id", "fingerprints",
         "quality_filter", "pricing_summary", "segment_revenue",
         "inactive_customers", "top_orders", "nation_revenue",
-        "hourly_events", "sliding_events", "sessionize",
+        "hourly_events", "sessionize",
         "global_quantiles", "sampled_quantiles",
         "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
         "outer_join_orders",
         # new this round, never driver-recorded:
         "shingle_novelty", "bm25_topk", "pmi_bigrams",
         "winnow_fingerprints", "temperature_mix",
-        "semdedup", "doc_perplexity", "stratified_split",
+        "semdedup", "doc_perplexity", "stratified_split", "dsir_sample",
         # high-value dedup/ANN/join re-validations (code touched or
         # bench-flagged this round; exact_dedup rotates out — it holds
         # hash-green rows in all four prior rounds):
@@ -711,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": textstats.PII_REDACT_SQL,
         "gopher_signals": textstats.GOPHER_SIGNALS_SQL,
         "doc_perplexity": textstats.DOC_PERPLEXITY_SQL,
+        "dsir_sample": textstats.DSIR_SAMPLE_SQL,
         "stratified_split": textstats.STRATIFIED_SPLIT_SQL,
         "tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "chunk_dedup": dedup.CHUNK_DEDUP_SQL,

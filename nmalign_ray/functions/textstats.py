@@ -2057,3 +2057,147 @@ def stratified_split(ds: ray.data.Dataset) -> ray.data.Dataset:
     out = [_assign.remote(r, p, tot_ref)
            for r, p in zip(refs, prefixes)]
     return ray.data.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): select
+# pretraining documents whose hashed-n-gram profile leans toward a
+# TARGET distribution.  Features are unigrams + bigrams hashed into
+# DSIR_BUCKETS buckets (md5 — SQL-replayable); the target and source
+# bag-of-buckets models are add-one-smoothed counts (target = the
+# lang='en' slice here; any predicate slots in); each document's
+# log2 importance weight is sum_b c_b * (log2 p_b - log2 q_b) and the
+# resample keeps weight > 0 (lean-toward-target).
+#
+# Scale shape: ONE bucket-count aggregate bounded at DSIR_BUCKETS rows
+# (each batch pre-collapses its grams to (bucket, n_all, n_target)
+# partials before the exchange), the 4096-float log-ratio table
+# broadcast once via ray.put, then a stateless scoring pass — the same
+# two-pass broadcast shape as doc_perplexity, and the exact float
+# parity contract proven there (libm log2, sequential fold == DuckDB
+# list_sum, IEEE mul/sub): log2_weight is bit-exact UNROUNDED.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BKT = ("CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT "
+             f"% {DSIR_BUCKETS} AS BIGINT)")
+
+DSIR_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(toks) AS g FROM d
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in generate_series(1, len(toks) - 1)]) AS g
+  FROM d
+),
+bkt AS (SELECT doc_id, lang, {_DSIR_BKT} AS b FROM grams),
+tgt AS (SELECT b, count(*) AS c FROM bkt
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+srcc AS (SELECT b, count(*) AS c FROM bkt GROUP BY b),
+tots AS (
+  SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM tgt) AS tt,
+         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM srcc) AS ts
+),
+ratio AS (
+  SELECT s.b,
+         log2(CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+              / CAST(tots.tt + {DSIR_BUCKETS} AS DOUBLE))
+         - log2(CAST(s.c + 1 AS DOUBLE)
+                / CAST(tots.ts + {DSIR_BUCKETS} AS DOUBLE)) AS r
+  FROM srcc s LEFT JOIN tgt t USING (b), tots
+),
+docb AS (SELECT doc_id, b, count(*) AS nb FROM bkt GROUP BY 1, 2),
+w AS (
+  SELECT doc_id,
+         list_sum(list(CAST(nb AS DOUBLE) * r ORDER BY b)) AS lw
+  FROM docb JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(w.lw, 0.0) AS log2_weight,
+       coalesce(w.lw, 0.0) > 0.0 AS keep
+FROM d LEFT JOIN w USING (doc_id)
+"""
+
+
+def _dsir_grams(text: str) -> list:
+    toks = text.strip().lower().split()
+    return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+
+def _dsir_bucket(g: str) -> int:
+    return int.from_bytes(
+        hashlib.md5(g.encode()).digest()[:4], "big") % DSIR_BUCKETS
+
+
+def dsir_sample(ds: ray.data.Dataset,
+                target_lang: str = DSIR_TARGET_LANG) -> ray.data.Dataset:
+    """(doc_id, log2_weight, keep) — hashed-n-gram importance weights
+    toward the ``lang == target_lang`` slice, keep iff weight > 0.
+
+    On the synthetic corpus every lang shares one vocabulary, so
+    weights hover just below zero and ``keep`` is empty — a corpus
+    property, not a bug; the oracle verifies ``log2_weight`` bit-exact
+    (both SFs), which is the full fidelity of the algorithm."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c_all: Counter = Counter()
+        c_tgt: Counter = Counter()
+        for text, lang in zip(batch["text"].to_pylist(),
+                              batch["lang"].to_pylist()):
+            bkts = [_dsir_bucket(g) for g in _dsir_grams(text)]
+            c_all.update(bkts)
+            if lang == target_lang:
+                c_tgt.update(bkts)
+        keys = sorted(c_all)
+        return pa.Table.from_pydict(
+            {"b": pa.array(keys, pa.int64()),
+             "n_all": pa.array([c_all[k] for k in keys], pa.int64()),
+             "n_tgt": pa.array([c_tgt.get(k, 0) for k in keys],
+                               pa.int64())})
+
+    counts = _vocab_pandas(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("n_all", alias_name="n_all"),
+                                  Sum("n_tgt", alias_name="n_tgt")),
+        "dsir_sample")
+    ts = int(counts["n_all"].sum())
+    tt = int(counts["n_tgt"].sum())
+    ratio = np.zeros(DSIR_BUCKETS, np.float64)
+    for b, na, nt in zip(counts["b"], counts["n_all"], counts["n_tgt"]):
+        ratio[int(b)] = (
+            math.log2((int(nt) + 1) / float(tt + DSIR_BUCKETS))
+            - math.log2((int(na) + 1) / float(ts + DSIR_BUCKETS)))
+    ref = ray.put(ratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        ids, ws = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            ids.append(doc_id)
+            s = 0.0
+            # sequential fold over bucket-sorted terms = the SQL twin's
+            # list_sum(list(term ORDER BY b))
+            for b, nb in sorted(
+                    Counter(_dsir_bucket(g)
+                            for g in _dsir_grams(text)).items()):
+                s += float(nb) * r[b]
+            ws.append(s)
+        w = np.array(ws, np.float64)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "log2_weight": pa.array(w, pa.float64()),
+             "keep": pa.array(w > 0.0, pa.bool_())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
