@@ -459,6 +459,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "customer", ["c_custkey", "c_nationkey"]),
             _read(sf, "nation", ["n_nationkey", "n_name"]),
         ),
+        "rollup_revenue": lambda sf: relational.rollup_revenue(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]),
+        ),
+        "user_p90": lambda sf: relational.user_p90(
+            _read(sf, "events", ["user_id", "value"])
+        ),
+        "char_entropy": lambda sf: textstats.char_entropy(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "hourly_events": lambda sf: relational.hourly_events(_read(sf, "events", ["user_id", "ts", "value"])),
         "sliding_events": lambda sf: relational.sliding_events(
             _read(sf, "events", ["user_id", "ts", "value"])
@@ -598,15 +610,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
     # queries proving the HUGEINT fix + 19 of the queries with no r4 row
-    # (all r3-green) + the nine never-recorded round-5 additions
+    # (all r3-green) + the twelve never-recorded round-5 additions
     # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
     # temperature_mix, semdedup, doc_perplexity, stratified_split,
-    # dsir_sample)
-    # + 7 high-value dedup/ANN/join re-validations.  Rotated out to make
-    # room, each untouched this round beyond a shared-helper rename and
-    # hash-green in at least one prior round: knn_lsh/knn_ivf/knn_brute/
-    # grouped_topk (r3+r4 rows), range_join/running_totals/
-    # hourly_distinct (r3 rows), sliding_events (r1+r2+r3 rows).
+    # dsir_sample, rollup_revenue, user_p90, char_entropy)
+    # + 4 high-value dedup re-validations.  Rotated out to make
+    # room, each hash-green in at least two prior rounds with its r5
+    # changes (if any) gate-verified at both SFs: knn_lsh/knn_ivf/
+    # knn_brute/grouped_topk (r3+r4 rows), range_join/running_totals/
+    # hourly_distinct (r3 rows), sliding_events (r1+r2+r3 rows),
+    # simhash_near_dups (r2+r3+r4), asof_join/cms_heavy_hitters (r3+r4).
     # The trailing queries all carry hash-green prior-round rows and remain
     # value-checked every run by the in-repo gate replica
     # (tests/test_ray_entry.py), which sweeps ALL entries.
@@ -630,12 +643,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty", "bm25_topk", "pmi_bigrams",
         "winnow_fingerprints", "temperature_mix",
         "semdedup", "doc_perplexity", "stratified_split", "dsir_sample",
-        # high-value dedup/ANN/join re-validations (code touched or
+        "rollup_revenue", "user_p90", "char_entropy",
+        # high-value dedup re-validations (code touched or
         # bench-flagged this round; exact_dedup rotates out — it holds
         # hash-green rows in all four prior rounds):
-        "pack_sequences", "minhash_near_dups", "simhash_near_dups",
+        "pack_sequences", "minhash_near_dups",
         "dup_groups", "embedding_near_dups",
-        "asof_join", "cms_heavy_hitters",
     ]
     ordered = {k: q[k] for k in priority}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -687,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
         "inactive_customers": relational.INACTIVE_CUSTOMERS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "nation_revenue": relational.NATION_REVENUE_SQL,
+        "rollup_revenue": relational.ROLLUP_REVENUE_SQL,
+        "user_p90": relational.USER_P90_SQL,
+        "char_entropy": textstats.CHAR_ENTROPY_SQL,
         "hourly_events": relational.HOURLY_EVENTS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
         "sliding_events": relational.SLIDING_EVENTS_SQL,

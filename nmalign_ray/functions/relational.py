@@ -187,6 +187,7 @@ def _cogroup_revenue_join(
     dim: ray.data.Dataset,
     dim_batch_to_label,
     label_col: str,
+    return_cents: bool = False,
 ) -> pd.DataFrame:
     """Shared above-the-gate revenue join: fact cents and dimension label
     rows co-group on ``c_custkey``, tagged with an EXPLICIT ``is_dim``
@@ -282,13 +283,23 @@ def _cogroup_revenue_join(
     combined = partials.map_batches(
         label_partial, batch_format="pyarrow").to_pandas()
     if combined.empty:  # zero matching join keys: typed empty result
+        if return_cents:
+            return pd.DataFrame({label_col: pd.Series(dtype="object"),
+                                 "price_c": pd.Series(dtype="int64"),
+                                 "num_orders": pd.Series(dtype="int64")})
         return pd.DataFrame({label_col: pd.Series(dtype="object"),
                              "revenue": pd.Series(dtype="float64"),
                              "num_orders": pd.Series(dtype="int64")})
     out = combined.groupby(label_col, as_index=False).agg(
         price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
-    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     out["num_orders"] = out["num_orders"].astype(np.int64)
+    if return_cents:
+        # rollup callers derive coarser grouping levels from the finest
+        # grain, so rounding must wait until every level's exact cent
+        # sum exists (round-of-sum != sum-of-rounds)
+        out["price_c"] = out["price_c"].astype(np.int64)
+        return out[[label_col, "price_c", "num_orders"]]
+    out["revenue"] = round_half_away(out["price_c"] / 100.0, 3)
     return out[[label_col, "revenue", "num_orders"]]
 
 
@@ -1520,3 +1531,182 @@ def ntile_docs(ds: ray.data.Dataset,
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping-sets aggregate: revenue at (region, nation), per
+# region, and grand total — the warehouse GROUP BY ROLLUP.  The engine
+# computes ONLY the finest grain distributed (one broadcast-keyed fact
+# pass with per-batch partials, exact int64 cents), then derives every
+# coarser level from the finest aggregate driver-side: the finest grain
+# is nation-cardinality (~25 rows), so the rollup derivation is free and
+# exact — the canonical rollup plan at any scale.  Rounding happens
+# per-level AFTER derivation (round-of-sum != sum-of-rounds).
+# ---------------------------------------------------------------------------
+
+ROLLUP_SEP = "\x1f"
+
+ROLLUP_REVENUE_SQL = """
+WITH base AS (
+  SELECT r.r_name, n.n_name,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
+       round(CAST(sum(p) AS DOUBLE), 3) AS revenue,
+       count(*) AS num_orders
+FROM base GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def rollup_revenue(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    broadcast_threshold: int = BROADCAST_DIM_MAX,
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP(region, nation) over order revenue.
+
+    Below the gate the three dimension hops (customer -> nation ->
+    region) compose into ONE broadcast lookup custkey -> composite
+    label, so the fact table streams through a single partial-aggregate
+    map stage; above the gate the customer hop co-groups on
+    ``c_custkey`` (``_cogroup_revenue_join`` with ``return_cents``).
+    Either way only the finest grain crosses the cluster; subtotal and
+    grand-total levels are derived from its exact cent sums."""
+    nat = nation.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    rname_of = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    label_of_nation = {
+        int(nk): f"{rname_of.get(int(rk))}{ROLLUP_SEP}{nn}"
+        for nk, nn, rk in zip(nat["n_nationkey"], nat["n_name"],
+                              nat["n_regionkey"])
+        if rname_of.get(int(rk)) is not None
+    }
+
+    if customer.count() > broadcast_threshold:
+        nref = ray.put(label_of_nation)
+
+        def to_label(batch: pa.Table) -> pa.Array:
+            lookup = ray.get(nref)
+            return pa.array(
+                [lookup.get(int(k))
+                 for k in batch["c_nationkey"].to_pylist()],
+                pa.string())
+
+        finest = _cogroup_revenue_join(
+            orders,
+            customer.select_columns(["c_custkey", "c_nationkey"]),
+            to_label, "label", return_cents=True)
+    else:
+        cust = customer.select_columns(
+            ["c_custkey", "c_nationkey"]).to_pandas()
+        label_of_cust = {
+            int(ck): label_of_nation.get(int(nk))
+            for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+        }
+        ref = ray.put(label_of_cust)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            label = batch["o_custkey"].to_pandas().map(lookup)
+            df = pd.DataFrame({"label": label,
+                               "price_c": _cents(batch["o_totalprice"])})
+            df = df.dropna(subset=["label"])
+            g = df.groupby("label", as_index=False).agg(
+                price_c=("price_c", "sum"), num_orders=("price_c", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = orders.map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+        if partials.empty:
+            finest = pd.DataFrame({"label": pd.Series(dtype="object"),
+                                   "price_c": pd.Series(dtype="int64"),
+                                   "num_orders": pd.Series(dtype="int64")})
+        else:
+            finest = partials.groupby("label", as_index=False).agg(
+                price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+
+    # --- driver-side rollup derivation over the nation-sized finest grain
+    if finest.empty:
+        return pd.DataFrame({"region": pd.Series(dtype="object"),
+                             "nation": pd.Series(dtype="object"),
+                             "lvl": pd.Series(dtype="int64"),
+                             "revenue": pd.Series(dtype="float64"),
+                             "num_orders": pd.Series(dtype="int64")})
+    split = finest["label"].str.split(ROLLUP_SEP, n=1, expand=True)
+    fine = pd.DataFrame({"region": split[0], "nation": split[1],
+                         "price_c": finest["price_c"].astype(np.int64),
+                         "num_orders": finest["num_orders"].astype(np.int64)})
+    by_region = fine.groupby("region", as_index=False).agg(
+        price_c=("price_c", "sum"), num_orders=("num_orders", "sum"))
+    by_region["nation"] = "ALL"
+    total = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                          "price_c": [fine["price_c"].sum()],
+                          "num_orders": [fine["num_orders"].sum()]})
+    fine["lvl"], by_region["lvl"], total["lvl"] = 0, 1, 2
+    out = pd.concat([fine, by_region, total], ignore_index=True)
+    out["lvl"] = out["lvl"].astype(np.int64)
+    out["revenue"] = round_half_away(out["price_c"].astype(np.float64)
+                                     / 100.0, 3)
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    return out[["region", "nation", "lvl", "revenue", "num_orders"]]
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantile: per-user p90 of event values by INDEX
+# SELECTION (v_sorted[floor((n-1)*0.9)]) — no interpolation arithmetic,
+# so the selected value is bit-exact on both sides (the value_quantiles
+# contract, per group).  One coarse-shard exchange on user_id % width;
+# inside a shard the per-user selection is one lexsort + vectorized
+# run-boundary indexing — never one Ray group per user.
+# ---------------------------------------------------------------------------
+
+USER_P90_Q = 0.9
+
+USER_P90_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       (list(value ORDER BY value))
+         [CAST(1 + floor((count(*) - 1) * {USER_P90_Q}) AS BIGINT)] AS p90
+FROM events GROUP BY user_id
+"""
+
+
+def user_p90(events: ray.data.Dataset,
+             q: float = USER_P90_Q) -> ray.data.Dataset:
+    """(user_id, n_events, p90) — exact per-group index-selection
+    quantile over ``events.value``."""
+    width = max(32, cluster_cpus() * 4)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"user_id": batch["user_id"], "value": batch["value"],
+             "shard": pa.array((users % width).astype(np.int32),
+                               pa.int32())})
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        users = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, users))
+        users, vals = users[order], vals[order]
+        uniq, start, cnt = np.unique(users, return_index=True,
+                                     return_counts=True)
+        sel = start + np.floor((cnt - 1) * q).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(uniq, pa.int64()),
+             "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+             "p90": pa.array(vals[sel], pa.float64())})
+
+    sharded = events.select_columns(["user_id", "value"]).map_batches(
+        shard, batch_format="pyarrow")
+    return sharded.groupby("shard", num_partitions=min(width, 64)).map_groups(
+        per_shard, batch_format="pyarrow")

@@ -2201,3 +2201,70 @@ def dsir_sample(ds: ray.data.Dataset,
              "keep": pa.array(w > 0.0, pa.bool_())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-level Shannon entropy — the classic gibberish /
+# compressibility quality signal (low entropy = repeated filler, high =
+# random noise).  Strictly per-document, ONE stateless vectorized
+# map_batches pass, zero shuffle.  Float parity contract (the
+# doc_perplexity proof): H = log2(n) - (sum_c k_c*log2(k_c))/n with
+# math.log2 (libm — numpy's SIMD log2 diverges in the last ulp), the
+# sum folded sequentially in CHARACTER order (== DuckDB
+# list_sum(list(... ORDER BY c)); UTF-8 byte order == codepoint order),
+# each mul/div/sub a single IEEE op — entropy is bit-exact UNROUNDED.
+# DuckDB string_split(text, '') splits by codepoint, matching the
+# numpy utf-32 view.
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, '') END AS cs
+  FROM documents
+),
+cc AS (
+  SELECT doc_id, c, count(*) AS k
+  FROM (SELECT doc_id, unnest(cs) AS c FROM d) GROUP BY 1, 2
+),
+e AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+         list_sum(list(CAST(k AS DOUBLE) * log2(CAST(k AS DOUBLE))
+                       ORDER BY c)) AS s
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.n, 0) AS n_chars,
+       CASE WHEN coalesce(e.n, 0) = 0 THEN 0.0
+            ELSE log2(CAST(e.n AS DOUBLE)) - e.s / CAST(e.n AS DOUBLE)
+       END AS entropy
+FROM d LEFT JOIN e USING (doc_id)
+"""
+
+
+def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, entropy) — per-document codepoint Shannon
+    entropy, bit-exact against the SQL twin."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        ns, hs = [], []
+        for text in batch["text"].to_pylist():
+            cp = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+            n = len(cp)
+            ns.append(n)
+            if n == 0:
+                hs.append(0.0)
+                continue
+            _, cnt = np.unique(cp, return_counts=True)  # sorted by codepoint
+            s = 0.0
+            for k in cnt.tolist():  # sequential fold in character order
+                s += float(k) * math.log2(k)
+            hs.append(math.log2(n) - s / float(n))
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "n_chars": pa.array(ns, pa.int64()),
+             "entropy": pa.array(hs, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1756,3 +1756,142 @@ class TestStratifiedSplit:
         out = ts.stratified_split(ray_session.data.from_arrow(tbl))
         df = out.to_pandas()
         assert len(df) == 0
+
+
+class TestRollupRevenue:
+    def _tables(self, ray_session, n_orders=200):
+        orders = pa.Table.from_pydict(
+            {"o_custkey": pa.array([i % 10 for i in range(n_orders)],
+                                   pa.int64()),
+             "o_totalprice": pa.array(
+                 [round(13.37 * (i % 97) + 0.01 * (i % 100), 2)
+                  for i in range(n_orders)], pa.float64())})
+        customer = pa.Table.from_pydict(
+            {"c_custkey": pa.array(range(10), pa.int64()),
+             "c_nationkey": pa.array([i % 4 for i in range(10)],
+                                     pa.int32())})
+        nation = pa.Table.from_pydict(
+            {"n_nationkey": pa.array(range(4), pa.int32()),
+             "n_name": pa.array([f"N{i}" for i in range(4)], pa.string()),
+             "n_regionkey": pa.array([i % 2 for i in range(4)],
+                                     pa.int32())})
+        region = pa.Table.from_pydict(
+            {"r_regionkey": pa.array(range(2), pa.int32()),
+             "r_name": pa.array(["RA", "RB"], pa.string())})
+        mk = ray_session.data.from_arrow
+        return mk(orders), mk(customer), mk(nation), mk(region)
+
+    def test_levels_consistent(self, ray_session):
+        from nmalign_ray.functions import relational as rel
+
+        o, c, n, r = self._tables(ray_session)
+        out = rel.rollup_revenue(o, c, n, r)
+        fine = out[out.lvl == 0]
+        mid = out[out.lvl == 1].set_index("region")
+        top = out[out.lvl == 2]
+        # count rollup is exact at every level
+        for reg, grp in fine.groupby("region"):
+            assert mid.loc[reg, "num_orders"] == grp["num_orders"].sum()
+        assert top["num_orders"].iloc[0] == fine["num_orders"].sum()
+        assert (mid["nation"] == "ALL").all()
+        assert list(top[["region", "nation"]].iloc[0]) == ["ALL", "ALL"]
+        # revenue subtotals: cent-exact, so level sums agree to the cent
+        assert abs(top["revenue"].iloc[0] - fine["revenue"].sum()) < 0.005 * len(fine)
+
+    def test_broadcast_and_cogroup_paths_agree(self, ray_session):
+        from nmalign_ray.functions import relational as rel
+
+        o, c, n, r = self._tables(ray_session)
+        a = rel.rollup_revenue(o, c, n, r)
+        b = rel.rollup_revenue(o, c, n, r, broadcast_threshold=1)
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+
+    def test_empty_orders_typed(self, ray_session):
+        from nmalign_ray.functions import relational as rel
+
+        _, c, n, r = self._tables(ray_session)
+        empty = ray_session.data.from_arrow(pa.Table.from_pydict(
+            {"o_custkey": pa.array([], pa.int64()),
+             "o_totalprice": pa.array([], pa.float64())}))
+        out = rel.rollup_revenue(empty, c, n, r)
+        assert len(out) == 0
+        assert list(out.columns) == ["region", "nation", "lvl", "revenue",
+                                     "num_orders"]
+
+
+class TestUserP90:
+    def test_matches_brute(self, ray_session):
+        import numpy as np
+
+        from nmalign_ray.functions import relational as rel
+
+        rows = 500
+        users = [i % 17 for i in range(rows)]
+        vals = [((i * 37) % 101) / 7.0 for i in range(rows)]
+        tbl = pa.Table.from_pydict(
+            {"user_id": pa.array(users, pa.int64()),
+             "value": pa.array(vals, pa.float64())})
+        out = rel.user_p90(
+            ray_session.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 17
+        for u in range(17):
+            mine = out[out.user_id == u]
+            vs = sorted(v for uu, v in zip(users, vals) if uu == u)
+            want = vs[int(np.floor((len(vs) - 1) * 0.9))]
+            assert mine["p90"].iloc[0] == want
+            assert mine["n_events"].iloc[0] == len(vs)
+
+    def test_partition_invariant(self, ray_session):
+        from nmalign_ray.functions import relational as rel
+
+        tbl = pa.Table.from_pydict(
+            {"user_id": pa.array([i % 5 for i in range(200)], pa.int64()),
+             "value": pa.array([float((i * 13) % 43) for i in range(200)],
+                               pa.float64())})
+        a = rel.user_p90(ray_session.data.from_arrow(tbl)).to_pandas()
+        b = rel.user_p90(
+            ray_session.data.from_arrow(tbl).repartition(9)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.char_entropy(ray_session.data.from_arrow(
+            docs_table(["aab", "", "zzzz", "ab"]))).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        # "aab": H = log2(3) - (2*log2(2) + 1*log2(1))/3
+        assert out["entropy"][0] == math.log2(3) - (2 * math.log2(2)) / 3
+        assert out["n_chars"][0] == 3
+        assert out["entropy"][1] == 0.0 and out["n_chars"][1] == 0
+        assert out["entropy"][2] == math.log2(4) - (4 * math.log2(4)) / 4
+        assert out["entropy"][3] == 1.0  # two equiprobable symbols
+
+    def test_unicode_codepoints(self, ray_session):
+        import math
+
+        from nmalign_ray.functions import textstats as ts
+
+        # 4 distinct codepoints incl. multibyte — n_chars counts
+        # codepoints, not bytes
+        out = ts.char_entropy(ray_session.data.from_arrow(
+            docs_table(["aé⸗é"]))).to_pandas()
+        assert out["n_chars"][0] == 4
+        want = math.log2(4) - (2 * math.log2(2)) / 4
+        assert out["entropy"][0] == want
+
+    def test_partition_invariant(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = [BASE[: 7 + (i * 11) % 90] for i in range(80)]
+        tbl = docs_table(texts)
+        a = ts.char_entropy(ray_session.data.from_arrow(tbl)).to_pandas()
+        b = ts.char_entropy(
+            ray_session.data.from_arrow(tbl).repartition(8)).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
