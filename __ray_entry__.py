@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sample": lambda sf: dedup.jaccard_sample(_read(sf, "documents", ["doc_id", "text"])),
         "shingle_novelty": lambda sf: dedup.shingle_novelty(
             _read(sf, "documents", ["doc_id", "text"])),
+        "exact_substr_dedup": lambda sf: dedup.exact_substr_dedup(
+            _read(sf, "documents", ["doc_id", "text"])),
         "minhash_near_dups": lambda sf: dedup.minhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         "simhash_near_dups": lambda sf: dedup.simhash_near_dups(_read(sf, "documents", ["doc_id", "text"])),
         "dup_groups": lambda sf: dedup.connected_groups(
@@ -610,11 +612,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
     # queries proving the HUGEINT fix + 19 of the queries with no r4 row
-    # (all r3-green) + the twelve never-recorded round-5 additions
+    # (all r3-green) + the thirteen never-recorded round-5 additions
     # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
     # temperature_mix, semdedup, doc_perplexity, stratified_split,
-    # dsir_sample, rollup_revenue, user_p90, char_entropy)
-    # + 4 high-value dedup re-validations.  Rotated out to make
+    # dsir_sample, rollup_revenue, user_p90, char_entropy,
+    # exact_substr_dedup) + 3 high-value dedup re-validations.  Rotated out to make
     # room, each hash-green in at least two prior rounds with its r5
     # changes (if any) gate-verified at both SFs: knn_lsh/knn_ivf/
     # knn_brute/grouped_topk (r3+r4 rows), range_join/running_totals/
@@ -643,11 +645,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty", "bm25_topk", "pmi_bigrams",
         "winnow_fingerprints", "temperature_mix",
         "semdedup", "doc_perplexity", "stratified_split", "dsir_sample",
-        "rollup_revenue", "user_p90", "char_entropy",
+        "rollup_revenue", "user_p90", "char_entropy", "exact_substr_dedup",
         # high-value dedup re-validations (code touched or
-        # bench-flagged this round; exact_dedup rotates out — it holds
-        # hash-green rows in all four prior rounds):
-        "pack_sequences", "minhash_near_dups",
+        # bench-flagged this round; exact_dedup and pack_sequences rotate
+        # out — exact_dedup holds hash-green rows in all four prior
+        # rounds, pack_sequences an r4 row with its code untouched since):
+        "minhash_near_dups",
         "dup_groups", "embedding_near_dups",
     ]
     ordered = {k: q[k] for k in priority}
@@ -687,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keepers": dedup.DEDUP_KEEPERS_SQL,
         "jaccard_sample": dedup.JACCARD_SAMPLE_SQL,
         "shingle_novelty": dedup.SHINGLE_NOVELTY_SQL,
+        "exact_substr_dedup": dedup.EXACT_SUBSTR_SQL,
         "minhash_near_dups": dedup.MINHASH_NEAR_DUPS_SQL,
         "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,

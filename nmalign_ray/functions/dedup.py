@@ -1756,3 +1756,187 @@ def bloom_decontaminate(
             "contaminated": pa.array(n_flagged > 0, pa.bool_())})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (ExactSubstr, Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):
+# remove every token covered by a token n-gram that occurs >= 2 times
+# corpus-wide (ALL copies go, unlike chunk_dedup's keep-first rule, and
+# windows OVERLAP, unlike chunk_dedup's disjoint 8-word chunks).  The
+# paper builds a suffix array over the concatenated corpus; the
+# shuffle-native equivalence for a fixed window is n-gram occurrence
+# counting: a substring of >= EXACT_SUBSTR_N tokens is duplicated iff all
+# its length-N windows are, so flagging duplicated windows and taking the
+# positional interval union reproduces the (length-thresholded) dedup.
+#
+# 100-TB shape: the occurrence exchange ships (u64 md5(ngram), doc_id,
+# start) — never text — on a coarse h%width shard (all copies of an
+# n-gram co-locate, so in-shard multiplicity IS the global count);
+# surviving duplicate starts come back as narrow (doc_id, start) rows
+# co-grouped with the docs on a second coarse doc_id%width shard where
+# numpy takes the interval union per doc.  The SQL twin replays md5-u64
+# with the established ('0x'||substr(md5(g),1,16))::UBIGINT identity.
+# ---------------------------------------------------------------------------
+
+EXACT_SUBSTR_N = 3
+
+EXACT_SUBSTR_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)] END AS ngs
+  FROM d
+),
+raw AS (
+  SELECT doc_id, CAST(generate_subscripts(ngs, 1) - 1 AS BIGINT) AS s,
+         unnest(ngs) AS ngr
+  FROM ng
+),
+occ AS (
+  SELECT doc_id, s, ('0x' || substr(md5(ngr), 1, 16))::UBIGINT AS h FROM raw
+),
+cnt AS (SELECT h, count(*) AS c FROM occ GROUP BY h),
+dup AS (SELECT o.doc_id, o.s FROM occ o JOIN cnt USING (h) WHERE cnt.c >= 2),
+tok AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         unnest(toks) AS tk
+  FROM d
+),
+mark AS (
+  SELECT t.doc_id, t.pos, t.tk,
+         CASE WHEN u.s IS NOT NULL THEN 1 ELSE 0 END AS sflag
+  FROM tok t LEFT JOIN dup u ON u.doc_id = t.doc_id AND u.s = t.pos
+),
+cov AS (
+  SELECT doc_id, pos, tk,
+         max(sflag) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+  FROM mark
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
+       round(CAST(sum(covered) AS DOUBLE) / count(*), 6) AS dup_frac,
+       coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')
+         AS clean_text
+FROM cov GROUP BY doc_id
+"""
+
+
+def _ngram_u64(ng: str) -> int:
+    return int.from_bytes(hashlib.md5(ng.encode("utf-8")).digest()[:8], "big")
+
+
+def exact_substr_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_dup_tokens, dup_frac, clean_text) — every
+    token covered by a corpus-duplicated 3-gram window is removed (all
+    copies, interval union of overlapping windows); whitespace-only docs
+    are excluded like the oracle's ``trim(text) <> ''`` filter.
+
+    Same whitespace domain precondition as ``_doc_chunks`` (pinned by
+    ``test_no_divergent_whitespace``)."""
+    import pyarrow.compute as pc
+
+    width = _shard_width()
+    n = EXACT_SUBSTR_N
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ids: list[int] = []
+        ss: list[int] = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = text.strip().split()
+            for s in range(len(toks) - n + 1):
+                hs.append(_ngram_u64(" ".join(toks[s:s + n])))
+                ids.append(did)
+                ss.append(s)
+        h = np.array(hs, np.uint64)
+        return pa.Table.from_pydict(
+            {"h": pa.array(h, pa.uint64()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "s": pa.array(ss, pa.int64()),
+             "shard": pa.array((h % np.uint64(width)).astype(np.int32),
+                               pa.int32())})
+
+    def dup_starts(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.combine_chunks()
+        df = pd.DataFrame({
+            "h": g["h"].to_numpy(zero_copy_only=False),
+            "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+            "s": g["s"].to_numpy(zero_copy_only=False),
+        })
+        # all copies of an n-gram land in this shard: size == global count
+        dup = df[df.groupby("h")["h"].transform("size") >= 2]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(dup["doc_id"].to_numpy().astype(np.int64),
+                                pa.int64()),
+             "s": pa.array(dup["s"].to_numpy().astype(np.int64), pa.int64()),
+             "is_doc": pa.array([False] * len(dup), pa.bool_()),
+             "text": pa.array([""] * len(dup), pa.string())})
+
+    marks = (
+        ds.map_batches(occ_rows, batch_format="pyarrow")
+        .groupby("shard", num_partitions=min(width, 64))
+        .map_groups(dup_starts, batch_format="pyarrow")
+    )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.utf8_trim_whitespace(batch["text"]), "")
+        b = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"],
+             "s": pa.array([-1] * len(b), pa.int64()),
+             "is_doc": pa.array([True] * len(b), pa.bool_()),
+             "text": b["text"]})
+
+    both = marks.union(ds.map_batches(doc_side, batch_format="pyarrow"))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ks = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array((ks % width).astype(np.int32), pa.int32()))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        # split doc rows from mark rows in Arrow (mixed-type pandas decay)
+        is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(is_doc))
+        mk = g.filter(pa.array(~is_doc))
+        starts_by: dict[int, list[int]] = {}
+        for did, s in zip(mk["doc_id"].to_pylist(), mk["s"].to_pylist()):
+            starts_by.setdefault(did, []).append(s)
+        ids, nt, nd, fr, ct = [], [], [], [], []
+        for did, text in sorted(zip(docs["doc_id"].to_pylist(),
+                                    docs["text"].to_pylist())):
+            toks = text.strip().split()
+            ln = len(toks)
+            diff = np.zeros(ln + n, np.int64)
+            st = np.asarray(starts_by.get(did, ()), np.int64)
+            np.add.at(diff, st, 1)
+            np.add.at(diff, st + n, -1)
+            covered = np.cumsum(diff[:ln]) > 0
+            k = int(covered.sum())
+            ids.append(did)
+            nt.append(ln)
+            nd.append(k)
+            fr.append(round6(k / ln))
+            ct.append(" ".join(t for t, c in zip(toks, covered) if not c))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(nt, pa.int64()),
+             "n_dup_tokens": pa.array(nd, pa.int64()),
+             "dup_frac": pa.array(fr, pa.float64()),
+             "clean_text": pa.array(ct, pa.string())})
+
+    return both.map_batches(add_shard, batch_format="pyarrow").groupby(
+        "shard", num_partitions=min(width, 64)
+    ).map_groups(rebuild, batch_format="pyarrow")

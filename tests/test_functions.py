@@ -80,6 +80,80 @@ class TestShingleNovelty:
         assert sorted(out.doc_id) == [2]
 
 
+class TestExactSubstrDedup:
+    def _brute(self, texts):
+        # independent replay of the ExactSubstr rule: flag every token
+        # covered by a 3-gram occurring >= 2 times corpus-wide
+        from collections import Counter
+
+        occs, toks_by = [], {}
+        for did, text in enumerate(texts):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            toks_by[did] = toks
+            for s in range(len(toks) - 2):
+                occs.append((" ".join(toks[s:s + 3]), did, s))
+        cnt = Counter(g for g, _, _ in occs)
+        rows = {}
+        for did, toks in toks_by.items():
+            covered = [False] * len(toks)
+            for g, d, s in occs:
+                if d == did and cnt[g] >= 2:
+                    for i in range(s, s + 3):
+                        covered[i] = True
+            kept = [t for t, c in zip(toks, covered) if not c]
+            rows[did] = (len(toks), sum(covered), " ".join(kept))
+        return rows
+
+    def test_matches_brute_replay(self, ray_session):
+        texts = [
+            BASE,
+            BASE,  # exact clone: both fully covered
+            "a wholly original sentence about quasar jets and lattice gauge",
+            # shares only the leading 4 words with BASE -> two dup starts
+            # covering the first 4 tokens, the tail survives
+            "the quick brown fox sleeps under a completely different roof",
+            "",
+        ]
+        ds = ray_session.data.from_arrow(docs_table(texts))
+        out = dedup.exact_substr_dedup(ds).to_pandas().set_index("doc_id")
+        want = self._brute(texts)
+        assert sorted(out.index) == sorted(want)  # empty doc excluded
+        for did, (n, nd, clean) in want.items():
+            assert out.loc[did, "n_tokens"] == n
+            assert out.loc[did, "n_dup_tokens"] == nd
+            assert out.loc[did, "clean_text"] == clean
+        assert out.loc[0, "dup_frac"] == 1.0 and out.loc[1, "dup_frac"] == 1.0
+        assert out.loc[2, "dup_frac"] == 0.0
+        assert 0.0 < out.loc[3, "dup_frac"] < 1.0
+        assert out.loc[3, "clean_text"].endswith("different roof")
+
+    def test_within_doc_repeats_count(self, ray_session):
+        # multiplicity is global INCLUDING within-document repeats
+        ds = ray_session.data.from_arrow(
+            docs_table(["x y z q r s x y z", "unrelated words entirely here"]))
+        out = dedup.exact_substr_dedup(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_dup_tokens"] == 6  # both "x y z" copies
+        assert out.loc[0, "clean_text"] == "q r s"
+        assert out.loc[1, "n_dup_tokens"] == 0
+
+    def test_partition_invariance(self, ray_session):
+        texts = [BASE, BASE.replace("lazy", "sleepy"), BASE,
+                 "sui generis content row", "x " * 40]
+        a = dedup.exact_substr_dedup(
+            ray_session.data.from_arrow(docs_table(texts))).to_pandas()
+        b = dedup.exact_substr_dedup(
+            ray_session.data.from_arrow(docs_table(texts)).repartition(7)
+        ).to_pandas()
+        import pandas as pd
+
+        key = ["doc_id"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True))
+
+
 class TestMinhashPrefilterGate:
     def test_prefilter_path_equals_bloom_path(self, ray_session):
         # the member-id broadcast prefilter (gate open) and the
