@@ -1840,7 +1840,12 @@ def exact_substr_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     are excluded like the oracle's ``trim(text) <> ''`` filter.
 
     Same whitespace domain precondition as ``_doc_chunks`` (pinned by
-    ``test_no_divergent_whitespace``)."""
+    ``test_no_divergent_whitespace``).
+
+    The input ds is deliberately consumed twice (occurrence pass + doc
+    side) without ``materialize()``: it arrives as a column-pruned
+    parquet read, so the re-execution is one streaming scan, while
+    materializing would pin the corpus in the object store at scale."""
     import pyarrow.compute as pc
 
     width = _shard_width()

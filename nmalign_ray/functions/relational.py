@@ -1561,7 +1561,13 @@ SELECT coalesce(r_name, 'ALL') AS region,
        round(CAST(sum(p) AS DOUBLE), 3) AS revenue,
        count(*) AS num_orders
 FROM base GROUP BY ROLLUP(r_name, n_name)
+HAVING count(*) > 0
 """
+# The HAVING above drops ONLY the degenerate case: on an EMPTY base the
+# () grouping set would still emit one ('ALL','ALL', NULL, 0) grand-total
+# row (NULL revenue breaks the NULL-free value-hash convention and the
+# engine's typed-empty contract); every real group has count >= 1, so
+# the filter is a no-op on non-empty input.
 
 
 def rollup_revenue(
@@ -1614,6 +1620,9 @@ def rollup_revenue(
         }
         ref = ray.put(label_of_cust)
 
+        # same broadcast-partial shape as nation_revenue's map stage
+        # (composite region|nation label here vs bare nation there) —
+        # keep the two in sync on dropna / cents handling
         def partial(batch: pa.Table) -> pa.Table:
             lookup = ray.get(ref)
             label = batch["o_custkey"].to_pandas().map(lookup)

@@ -31,18 +31,29 @@ VOCAB_BROADCAST_MAX = int(
 GOPHER_PACK_LIMIT = 2 ** 62
 
 
-def _vocab_pandas(agg: ray.data.Dataset, what: str):
+def _vocab_pandas(agg: ray.data.Dataset, what: str, empty_cols=None):
     """Bounded collect of a vocabulary-sized aggregate.  ``to_pandas``'s
     ``limit`` raises (does not truncate) when exceeded — exactly the loud
-    failure the gate wants; this wrapper adds the remediation hint."""
+    failure the gate wants; this wrapper adds the remediation hint.
+
+    ``empty_cols`` (name -> pandas dtype) guards the zero-row case: Ray's
+    ``to_pandas`` on an empty dataset returns a COLUMN-LESS frame (even
+    from typed empty blocks), which would KeyError every downstream
+    column access on an all-empty corpus."""
     try:
-        return agg.to_pandas(limit=VOCAB_BROADCAST_MAX)
+        df = agg.to_pandas(limit=VOCAB_BROADCAST_MAX)
     except ValueError as e:
         raise ValueError(
             f"{what}: distinct-term aggregate exceeds VOCAB_BROADCAST_MAX="
             f"{VOCAB_BROADCAST_MAX} rows; raise GRAFT_VOCAB_BROADCAST_MAX "
             "or pre-prune the vocabulary (e.g. a min-count filter before "
             "the collect)") from e
+    if empty_cols is not None and len(df) == 0:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in empty_cols.items()})
+    return df
 
 # deterministic, tiny stoplists (parity with the SQL oracles matters, not
 # linguistic quality)
@@ -366,7 +377,8 @@ def top_terms(ds: ray.data.Dataset, k: int = TOP_TERMS_K) -> ray.data.Dataset:
         return out.reset_index(drop=True)
 
     # the aggregate is vocabulary-sized; one gated driver-side cut
-    return ray.data.from_pandas(cut(_vocab_pandas(agg, "top_terms")))
+    return ray.data.from_pandas(cut(_vocab_pandas(
+        agg, "top_terms", empty_cols={"term": "object", "cnt": "int64"})))
 
 
 # ---------------------------------------------------------------------------
@@ -1253,7 +1265,8 @@ def cms_heavy_hitters(ds: ray.data.Dataset, depth: int = CMS_DEPTH,
              "cms_estimate": np.asarray(est, dtype=np.int64)})
 
     return ray.data.from_pandas(
-        cut(_vocab_pandas(vocab, "cms_heavy_hitters")))
+        cut(_vocab_pandas(vocab, "cms_heavy_hitters",
+                          empty_cols={"term": "object", "cnt": "int64"})))
 
 
 # ---------------------------------------------------------------------------
@@ -1922,10 +1935,16 @@ def doc_perplexity(ds: ray.data.Dataset) -> ray.data.Dataset:
             {"term": pa.array(list(counts.keys()), pa.string()),
              "cnt": pa.array(list(counts.values()), pa.int64())})
 
+    # the input ds is deliberately consumed TWICE (count pass + score
+    # pass) WITHOUT materialize(): these callables receive a plain
+    # column-pruned parquet read, so the re-execution is one streaming
+    # scan — materializing would pin the whole corpus in the object
+    # store at 100-TB scale (the cms_heavy_hitters materialize-once rule
+    # applies to SMALL derived aggregates, not corpus-sized inputs)
     vocab = _vocab_pandas(
         ds.map_batches(count_partial, batch_format="pyarrow")
           .groupby("term").aggregate(Sum("cnt", alias_name="cnt")),
-        "doc_perplexity")
+        "doc_perplexity", empty_cols={"term": "object", "cnt": "int64"})
     total = int(vocab["cnt"].sum())
     logp = {t: math.log2(int(c) / float(total))
             for t, c in zip(vocab["term"], vocab["cnt"])}
@@ -2166,11 +2185,13 @@ def dsir_sample(ds: ray.data.Dataset,
              "n_tgt": pa.array([c_tgt.get(k, 0) for k in keys],
                                pa.int64())})
 
+    # two deliberate scans of the plain parquet input (see doc_perplexity)
     counts = _vocab_pandas(
         ds.map_batches(count_partial, batch_format="pyarrow")
           .groupby("b").aggregate(Sum("n_all", alias_name="n_all"),
                                   Sum("n_tgt", alias_name="n_tgt")),
-        "dsir_sample")
+        "dsir_sample",
+        empty_cols={"b": "int64", "n_all": "int64", "n_tgt": "int64"})
     ts = int(counts["n_all"].sum())
     tt = int(counts["n_tgt"].sum())
     ratio = np.zeros(DSIR_BUCKETS, np.float64)

@@ -1784,6 +1784,51 @@ class TestDocPerplexity:
         assert key(a) == key(b)
 
 
+class TestEmptyCorpusVocabCollects:
+    """Zero-row vocabulary aggregates collect to COLUMN-LESS pandas
+    frames (the documented Ray to_pandas trap) — every operator that
+    drives a driver query through _vocab_pandas must survive an
+    all-whitespace corpus instead of KeyError-ing, matching its SQL
+    twin's empty/zero output."""
+
+    def _empty_ds(self, ray_session, with_lang=False):
+        cols = {"doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["", "   "], pa.string())}
+        if with_lang:
+            cols["lang"] = pa.array(["en", "de"], pa.string())
+        return ray_session.data.from_arrow(pa.Table.from_pydict(cols))
+
+    def test_doc_perplexity(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.doc_perplexity(
+            self._empty_ds(ray_session)).to_pandas().set_index("doc_id")
+        assert len(out) == 2  # SQL twin LEFT JOIN keeps every doc
+        assert (out["n_tokens"] == 0).all()
+        assert (out["perplexity"] == 1.0).all()
+
+    def test_dsir_sample(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.dsir_sample(
+            self._empty_ds(ray_session, with_lang=True)).to_pandas()
+        assert len(out) == 2
+        assert (out["log2_weight"] == 0.0).all()
+        assert (~out["keep"]).all()
+
+    def test_top_terms(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.top_terms(self._empty_ds(ray_session)).to_pandas()
+        assert len(out) == 0
+
+    def test_cms_heavy_hitters(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.cms_heavy_hitters(self._empty_ds(ray_session)).to_pandas()
+        assert len(out) == 0
+
+
 class TestStratifiedSplit:
     def test_exact_proportions_per_stratum(self, ray_session):
         from nmalign_ray.functions import textstats as ts
@@ -1892,6 +1937,19 @@ class TestRollupRevenue:
         assert len(out) == 0
         assert list(out.columns) == ["region", "nation", "lvl", "revenue",
                                      "num_orders"]
+        # the SQL twin must ALSO give zero rows on an empty base: without
+        # the HAVING guard ROLLUP's () grouping set emits a degenerate
+        # ('ALL','ALL', NULL, 0) grand-total row over zero input rows
+        import duckdb
+
+        con = duckdb.connect()
+        for name, tbl in (("orders", "o_custkey BIGINT, o_totalprice DOUBLE"),
+                          ("customer", "c_custkey BIGINT, c_nationkey INT"),
+                          ("nation",
+                           "n_nationkey INT, n_name VARCHAR, n_regionkey INT"),
+                          ("region", "r_regionkey INT, r_name VARCHAR")):
+            con.execute(f"CREATE TABLE {name} ({tbl})")
+        assert len(con.execute(rel.ROLLUP_REVENUE_SQL).fetchdf()) == 0
 
 
 class TestUserP90:
