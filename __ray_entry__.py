@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": lambda sf: textstats.kmv_distinct(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "hll_distinct": lambda sf: textstats.hll_distinct(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
         "pack_sequences": lambda sf: textstats.pack_sequences(
             _read(sf, "documents", ["doc_id", "text"])
         ),
@@ -611,12 +614,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Driver window rotation (round 5): the driver records EXACTLY the
     # first 50 keys.  This round's 50 = the 13 alignment-core queries
     # (incl. the new two-table join form) + the two round-4 hash-red
-    # queries proving the HUGEINT fix + 19 of the queries with no r4 row
-    # (all r3-green) + the thirteen never-recorded round-5 additions
+    # queries proving the HUGEINT fix + 18 of the queries with no r4 row
+    # (all r3-green; hourly_events rotates out with r1+r2+r3 rows) + the
+    # fourteen never-recorded round-5 additions
     # (shingle_novelty, bm25_topk, pmi_bigrams, winnow_fingerprints,
     # temperature_mix, semdedup, doc_perplexity, stratified_split,
     # dsir_sample, rollup_revenue, user_p90, char_entropy,
-    # exact_substr_dedup) + 3 high-value dedup re-validations.  Rotated out to make
+    # exact_substr_dedup, hll_distinct) + 3 high-value dedup
+    # re-validations.  Rotated out to make
     # room, each hash-green in at least two prior rounds with its r5
     # changes (if any) gate-verified at both SFs: knn_lsh/knn_ivf/
     # knn_brute/grouped_topk (r3+r4 rows), range_join/running_totals/
@@ -637,7 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts", "quality_scores", "lang_id", "fingerprints",
         "quality_filter", "pricing_summary", "segment_revenue",
         "inactive_customers", "top_orders", "nation_revenue",
-        "hourly_events", "sessionize",
+        "sessionize",
         "global_quantiles", "sampled_quantiles",
         "ntile_docs", "ranked_docs", "key_skew", "soft_sample",
         "outer_join_orders",
@@ -646,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints", "temperature_mix",
         "semdedup", "doc_perplexity", "stratified_split", "dsir_sample",
         "rollup_revenue", "user_p90", "char_entropy", "exact_substr_dedup",
+        "hll_distinct",
         # high-value dedup re-validations (code touched or
         # bench-flagged this round; exact_dedup and pack_sequences rotate
         # out — exact_dedup holds hash-green rows in all four prior
@@ -743,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "group_sample": textstats.GROUP_SAMPLE_SQL,
         "inverted_index": textstats.INVERTED_INDEX_SQL,
         "kmv_distinct": textstats.KMV_DISTINCT_SQL,
+        "hll_distinct": textstats.HLL_DISTINCT_SQL,
         "mix_sample": textstats.MIX_SAMPLE_SQL,
         "pack_sequences": textstats.PACK_SEQUENCES_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,

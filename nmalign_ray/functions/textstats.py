@@ -976,6 +976,116 @@ def kmv_distinct(ds: ray.data.Dataset, k: int = KMV_K) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-token estimate (Flajolet et al. 2007; small-range
+# linear-counting correction per Heule et al. 2013 §4) — the
+# fixed-memory industry-standard cardinality sketch, completing the
+# sketch family (KMV, CMS, Bloom, sampled quantiles).  Register j =
+# top-12 md5-u64 bits, rho = leading-zero run of the remaining 52 bits
+# + 1 (integer-exact both sides: python bit_length == DuckDB
+# length(bin(w)), never a float log on the hash).  Float contract (the
+# char_entropy/doc_perplexity proof): fold pow(2.0, -rho) over SET
+# buckets in bucket order (== list_sum(list(... ORDER BY bucket))), add
+# the empty-bucket mass as ONE addition, then the alpha expression in
+# the identical operation order — the estimate is bit-exact unrounded.
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P          # 4096 registers
+_HLL_LOW = (1 << (64 - HLL_P)) - 1
+
+HLL_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> '')
+),
+reg AS (
+  SELECT CAST(hv >> {64 - HLL_P} AS BIGINT) AS bucket,
+         max(CASE WHEN (hv & {_HLL_LOW}) = 0 THEN {64 - HLL_P + 1}
+                  ELSE {64 - HLL_P + 1}
+                       - length(bin(CAST(hv & {_HLL_LOW} AS BIGINT))) END)
+           AS rho
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS nb, max(rho) AS mx,
+         list_sum(list(pow(2.0, -CAST(rho AS DOUBLE)) ORDER BY bucket)) AS sr
+  FROM reg
+)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_buckets_set,
+       CAST(coalesce(mx, 0) AS BIGINT) AS max_rho,
+       CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+            WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 / (sr + CAST({HLL_M} - nb AS DOUBLE)) <= 2.5 * {HLL_M}.0
+                 AND nb < {HLL_M}
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - nb AS DOUBLE))
+            ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 / (sr + CAST({HLL_M} - nb AS DOUBLE))
+       END AS estimate_distinct
+FROM s
+"""
+
+
+def _hll_estimate(regs: dict[int, int]) -> float:
+    """The SQL twin's estimator expression, operation for operation."""
+    m = float(HLL_M)
+    nb = len(regs)
+    if nb == 0:
+        return 0.0
+    s = 0.0
+    for b in sorted(regs):  # fold in bucket order == list(... ORDER BY bucket)
+        s += math.pow(2.0, -float(regs[b]))
+    s = s + float(HLL_M - nb)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / s
+    if raw <= 2.5 * m and nb < HLL_M:
+        return m * math.log(m / float(HLL_M - nb))
+    return raw
+
+
+def hll_distinct(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct-token cardinality via a 4096-register HyperLogLog.
+
+    Per-batch partials emit at most m (bucket, rho) rows — never a
+    token- or vocabulary-sized exchange; the register merge is the
+    built-in Max aggregate over a 4096-bounded key space and the driver
+    collects at most m rows to fold the estimate."""
+    from ray.data.aggregate import Max
+
+    shift = 64 - HLL_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for text in batch["text"].to_pylist():
+            t = text.strip()
+            if not t:
+                continue
+            for tok in set(t.lower().split()):
+                hv = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                b = hv >> shift
+                w = hv & _HLL_LOW
+                rho = shift + 1 if w == 0 else shift + 1 - w.bit_length()
+                if rho > regs.get(b, 0):
+                    regs[b] = rho
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(list(regs.keys()), pa.int64()),
+             "rho": pa.array(list(regs.values()), pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+              .to_pandas(limit=HLL_M))
+    regs = ({int(b): int(r) for b, r in zip(merged["bucket"], merged["rho"])}
+            if "bucket" in merged.columns else {})
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "m": pa.array([HLL_M], pa.int64()),
+        "n_buckets_set": pa.array([len(regs)], pa.int64()),
+        "max_rho": pa.array([max(regs.values()) if regs else 0], pa.int64()),
+        "estimate_distinct": pa.array([_hll_estimate(regs)], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # Training-mix composition: per-source token-budgeted selection.  Order
 # each source's documents by (md5(doc_id), doc_id) — a deterministic
 # pseudo-random shuffle — and keep documents while the running token

@@ -732,6 +732,67 @@ class TestKmvDistinct:
         assert out.loc[0, "estimate_distinct"] == 0.0
 
 
+class TestHllDistinct:
+    def _brute_regs(self, texts):
+        import hashlib as hl
+
+        from nmalign_ray.functions import textstats as ts
+
+        toks = set()
+        for t in texts:
+            t = t.strip()
+            if t:
+                toks.update(t.lower().split())
+        regs = {}
+        shift = 64 - ts.HLL_P
+        for tok in toks:
+            hv = int.from_bytes(hl.md5(tok.encode()).digest()[:8], "big")
+            b, w = hv >> shift, hv & ((1 << shift) - 1)
+            rho = shift + 1 if w == 0 else shift + 1 - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs, len(toks)
+
+    def test_small_range_branch_and_partition_invariance(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["alpha beta gamma", "beta delta", "  ", "gamma epsilon"]
+        a = ts.hll_distinct(
+            ray_session.data.from_arrow(docs_table(texts))).to_pandas()
+        b = ts.hll_distinct(
+            ray_session.data.from_arrow(docs_table(texts)).repartition(4)
+        ).to_pandas()
+        regs, exact = self._brute_regs(texts)
+        assert a.loc[0, "n_buckets_set"] == len(regs)
+        assert a.loc[0, "estimate_distinct"] == ts._hll_estimate(regs)
+        # 5 distinct tokens over 4096 registers: linear counting is ~exact
+        assert abs(a.loc[0, "estimate_distinct"] - exact) < 0.01
+        assert a.equals(b)
+
+    def test_raw_branch_accuracy_at_large_cardinality(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        # 60k distinct tokens >> 2.5*m: exercises the raw-HLL branch;
+        # the standard error for m=4096 is ~1.04/sqrt(m) ~ 1.6%
+        texts = [" ".join(f"tok{i}" for i in range(j, j + 600))
+                 for j in range(0, 60000, 600)]
+        out = ts.hll_distinct(
+            ray_session.data.from_arrow(docs_table(texts)).repartition(8)
+        ).to_pandas()
+        regs, exact = self._brute_regs(texts)
+        est = out.loc[0, "estimate_distinct"]
+        assert est == ts._hll_estimate(regs)
+        assert est > 2.5 * ts.HLL_M  # raw branch, not linear counting
+        assert abs(est - exact) / exact < 0.05
+
+    def test_empty_corpus(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.hll_distinct(
+            ray_session.data.from_arrow(docs_table(["", "  "]))).to_pandas()
+        assert out.loc[0, "n_buckets_set"] == 0
+        assert out.loc[0, "estimate_distinct"] == 0.0
+
+
 class TestMixSample:
     def _tbl(self):
         return pa.Table.from_pydict(
