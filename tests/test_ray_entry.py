@@ -88,6 +88,27 @@ class TestRowsOnly:
         # skipped empty parameterization in the report.
         assert ROWS_ONLY == []
 
+    def test_coverage_window_mapping_consistent(self):
+        # COVERAGE.md's "Driver-row mapping" table is the judge's audit
+        # trail for the 50-key driver window; a stale row (found by the
+        # r5 review: sliding_events still said 'yes' after rotating out)
+        # misstates which queries get recorded.  Pin: every queries()
+        # entry has a mapping row, and the 'yes' set IS the first 50.
+        import re
+
+        window = set(list(entrymod.queries())[:50])
+        rows = {}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "COVERAGE.md")
+        for line in open(path):
+            m = re.match(r"\| `(\w+)` \| ([^|]+) \| ([^|]+) \|", line)
+            if m:
+                rows[m.group(1)] = m.group(3).strip()
+        assert set(entrymod.queries()) <= set(rows), (
+            sorted(set(entrymod.queries()) - set(rows)))
+        yes = {k for k, v in rows.items() if v.startswith("yes")}
+        assert yes == window, (sorted(yes - window), sorted(window - yes))
+
 
 class TestEntry:
     def test_entry_runs(self, ray_session):
