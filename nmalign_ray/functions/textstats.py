@@ -1055,19 +1055,23 @@ def hll_distinct(ds: ray.data.Dataset) -> ray.data.Dataset:
     shift = 64 - HLL_P
 
     def partial(batch: pa.Table) -> pa.Table:
-        regs: dict[int, int] = {}
+        # union tokens across the whole batch BEFORE hashing (the
+        # kmv_distinct pattern): registers merge by max, so one md5 per
+        # batch-distinct token gives identical output to per-doc hashing
+        toks: set[str] = set()
         for text in batch["text"].to_pylist():
             t = text.strip()
-            if not t:
-                continue
-            for tok in set(t.lower().split()):
-                hv = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                b = hv >> shift
-                w = hv & _HLL_LOW
-                rho = shift + 1 if w == 0 else shift + 1 - w.bit_length()
-                if rho > regs.get(b, 0):
-                    regs[b] = rho
+            if t:
+                toks.update(t.lower().split())
+        regs: dict[int, int] = {}
+        for tok in toks:
+            hv = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            b = hv >> shift
+            w = hv & _HLL_LOW
+            rho = shift + 1 if w == 0 else shift + 1 - w.bit_length()
+            if rho > regs.get(b, 0):
+                regs[b] = rho
         return pa.Table.from_pydict(
             {"bucket": pa.array(list(regs.keys()), pa.int64()),
              "rho": pa.array(list(regs.values()), pa.int64())})
