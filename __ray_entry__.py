@@ -604,6 +604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             media.media_from_documents(
                 _read(sf, "documents", ["doc_id", "text"]))
         ).select_columns(["media_ref", "frame_index", "timestamp_ms"]),
+        "embed_kmeans": lambda sf: simsearch.embed_kmeans(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
+        ),
     }
 
     # The driver's correctness sweep records the FIRST 50 queries()
@@ -723,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_features": media.WAV_FEATURES_SQL,
         "text_embed": simsearch.TEXT_EMBED_SQL,
         "embed_knn": simsearch.EMBED_KNN_SQL,
+        "embed_kmeans": simsearch.EMBED_KMEANS_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

@@ -906,3 +906,158 @@ def semdedup(ds: ray.data.Dataset,
     return aug.map_batches(assign, batch_format="pyarrow").groupby(
         "cluster", num_partitions=IVF_CLUSTERS
     ).map_groups(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means over the embeddings table (Lloyd, fixed
+# iteration count) — the clustering primitive of curation pipelines
+# (SemDeDup's "k-means then dedup within cluster", cluster-balanced
+# sampling, topic bucketing).
+#
+# Determinism contract (why this is SQL-hash-exact BY CONSTRUCTION, not
+# just in practice): every vector is snapped to an integer grid first
+# (floor(x * 1000), elementwise — np.floor and DuckDB floor agree
+# bitwise on identical float64 inputs).  Centroids are then kept as the
+# elementwise INTEGER SUM of their members — never the float mean: a
+# parallel float sum is accumulation-order-dependent on both engines,
+# while int64 sums are exact in any order, and cosine similarity is
+# scale-invariant so sum and mean assign identically.  All magnitudes
+# stay far inside 2**53 (|grid element| <= ~1000, |sum element| <=
+# n_rows * 1000), so the float64 dot products and norms over these
+# integer-valued arrays are exact integers too; the only float ops are
+# one sqrt and one division per (row, centroid), identical on both
+# sides up to the shared round-half-away-at-6 contract (round6 — the
+# same proven pairing every knn_* oracle uses).  Ties break (score
+# DESC, cid ASC) = numpy argmax-first over ascending-cid centroids.
+#
+# Scale shape: centroids are k x dim integers (driver-tiny), broadcast
+# once per iteration with ray.put; each iteration is ONE streamed pass
+# over the table emitting <=k partial-sum rows per block, folded
+# incrementally on the driver via iter_batches (block-count-bounded
+# stream, never a corpus materialization; at >>10^6 blocks the fold
+# moves behind a groupby('cid') tree-reduce unchanged).  No shuffle
+# anywhere — the assignment pass is embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3  # assignment rounds (2 centroid updates)
+KMEANS_GRID = 1000
+EMB_DIM = 64  # the embeddings-table fixture dimension (TESTDATA.md)
+
+
+def _int_grid(batch: pa.Table) -> np.ndarray:
+    """Embedding batch -> integer-grid float64 matrix (exact values)."""
+    return np.floor(_stack_embeddings(batch) * KMEANS_GRID)
+
+
+def _kmeans_sims(iv: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """round6 cosine matrix between integer-valued float64 rows."""
+    dots = iv @ cents.T  # exact: integer-valued operands, sums < 2**53
+    n1 = np.sqrt(np.einsum("ij,ij->i", iv, iv))
+    n2 = np.sqrt(np.einsum("ij,ij->i", cents, cents))
+    return round6(dots / (n1[:, None] * n2[None, :]))
+
+
+EMBED_KMEANS_ASSIGN = """
+  SELECT vec_id, cid{score} FROM (
+    SELECT e.vec_id, c.cid,
+           round(list_cosine_similarity(
+             CAST(e.iv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) AS score,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               CAST(e.iv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) DESC,
+               c.cid) AS rn
+    FROM e, {c} c) WHERE rn = 1
+"""
+
+EMBED_KMEANS_UPDATE = """
+  SELECT cid, list(sv ORDER BY pos) AS cv FROM (
+    SELECT a.cid, g.pos, CAST(sum(e.iv[g.pos]) AS BIGINT) AS sv
+    FROM {a} a JOIN e USING (vec_id)
+    CROSS JOIN generate_series(1, {dim}) AS g(pos)
+    GROUP BY a.cid, g.pos)
+  GROUP BY cid
+"""
+
+EMBED_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {KMEANS_GRID}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, iv AS cv FROM e WHERE vec_id < {KMEANS_K}),
+a0 AS ({EMBED_KMEANS_ASSIGN.format(score="", c="c0")}),
+c1 AS ({EMBED_KMEANS_UPDATE.format(a="a0", dim=EMB_DIM)}),
+a1 AS ({EMBED_KMEANS_ASSIGN.format(score="", c="c1")}),
+c2 AS ({EMBED_KMEANS_UPDATE.format(a="a1", dim=EMB_DIM)}),
+a2 AS ({EMBED_KMEANS_ASSIGN.format(score=", score", c="c2")})
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, score FROM a2
+"""
+
+
+def embed_kmeans(ds: ray.data.Dataset, k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS) -> ray.data.Dataset:
+    """(vec_id, embedding) -> (vec_id, cluster, score): spherical k-means
+    with ``iters`` assignment rounds.  Init = the vectors with the ``k``
+    smallest vec_ids (a bounded filtered collect); see the block comment
+    above for the integer-sum determinism contract and the streamed
+    per-iteration fold."""
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids < k, pa.bool_()))
+
+    seed = (ds.map_batches(seed_rows, batch_format="pyarrow")
+            .to_pandas().sort_values("vec_id"))
+    cids = seed["vec_id"].to_numpy().astype(np.int64)
+    cents = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+        * KMEANS_GRID)
+
+    for _ in range(iters - 1):
+        ref = ray.put((cids, cents))
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cids_b, cents_b = ray.get(_ref)
+            iv = _int_grid(batch)
+            assign = np.argmax(_kmeans_sims(iv, cents_b), axis=1)
+            acc = np.zeros((len(cids_b), iv.shape[1]))
+            np.add.at(acc, assign, iv)
+            cnt = np.bincount(assign, minlength=len(cids_b))
+            present = cnt > 0
+            return pa.Table.from_pydict({
+                "cid": pa.array(cids_b[present], pa.int64()),
+                "sv": pa.array(list(acc[present].astype(np.int64)),
+                               pa.list_(pa.int64())),
+            })
+
+        sums: dict[int, np.ndarray] = {}
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            part_ids = b["cid"].to_numpy(zero_copy_only=False)
+            part_sv = b["sv"].to_pylist()
+            for cid, sv in zip(part_ids, part_sv):
+                vec = np.asarray(sv, dtype=np.int64)
+                prev = sums.get(int(cid))
+                sums[int(cid)] = vec if prev is None else prev + vec
+        # empty clusters vanish, exactly as their SQL GROUP BY rows do
+        cids = np.array(sorted(sums), dtype=np.int64)
+        cents = np.stack([sums[int(c)] for c in cids]).astype(np.float64)
+
+    ref = ray.put((cids, cents))
+
+    def assign_out(batch: pa.Table, _ref=ref) -> pa.Table:
+        cids_b, cents_b = ray.get(_ref)
+        iv = _int_grid(batch)
+        sims = _kmeans_sims(iv, cents_b)
+        assign = np.argmax(sims, axis=1)
+        return pa.Table.from_pydict({
+            "vec_id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(cids_b[assign], pa.int64()),
+            "score": pa.array(sims[np.arange(len(assign)), assign],
+                              pa.float64()),
+        })
+
+    return ds.map_batches(assign_out, batch_format="pyarrow")
