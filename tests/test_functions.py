@@ -2088,3 +2088,85 @@ class TestCharEntropy:
             ray_session.data.from_arrow(tbl).repartition(8)).to_pandas()
         key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
         assert key(a) == key(b)
+
+
+class TestEmbedKmeans:
+    """Brute serial replay of the integer-sum k-means contract
+    (simsearch.embed_kmeans) plus partition invariance and the
+    empty-cluster drop."""
+
+    def _vecs(self, n=40, dim=8, seed=7):
+        rng = np.random.default_rng(seed)
+        return (rng.random((n, dim)) - 0.5).astype(np.float32)
+
+    def _emb_table(self, vecs):
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(range(len(vecs)), pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                   pa.list_(pa.float32()))})
+
+    def _brute(self, vecs, k, iters):
+        from nmalign_ray.functions.textstats import round6
+
+        iv = np.floor(vecs.astype(np.float64) * 1000.0)
+
+        def sims_row(v, cents):
+            out = []
+            for c in cents:  # independent per-pair derivation
+                cos = float(np.dot(v, c)) / (
+                    np.sqrt(float(np.dot(v, v)))
+                    * np.sqrt(float(np.dot(c, c))))
+                out.append(float(round6(np.array([cos]))[0]))
+            return out
+
+        cids = list(range(k))
+        cents = [iv[c].copy() for c in cids]
+        for _ in range(iters - 1):
+            sums = {}
+            for row in iv:
+                s = sims_row(row, cents)
+                best = cids[int(np.argmax(s))]
+                sums[best] = sums.get(best, 0) + row
+            cids = sorted(sums)
+            cents = [sums[c] for c in cids]
+        out = {}
+        for vid, row in enumerate(iv):
+            s = sims_row(row, cents)
+            j = int(np.argmax(s))
+            out[vid] = (cids[j], s[j])
+        return out
+
+    def test_brute_replay_and_partition_invariance(self, ray_session):
+        from nmalign_ray.functions import simsearch as ss
+
+        vecs = self._vecs()
+        tbl = self._emb_table(vecs)
+        a = ss.embed_kmeans(
+            ray_session.data.from_arrow(tbl), k=4).to_pandas()
+        b = ss.embed_kmeans(
+            ray_session.data.from_arrow(tbl).repartition(7), k=4).to_pandas()
+        want = self._brute(vecs, k=4, iters=ss.KMEANS_ITERS)
+        got = {int(r.vec_id): (int(r.cluster), float(r.score))
+               for r in a.itertuples()}
+        assert got == want
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+        assert len(set(a["cluster"])) > 1  # a real partition, not one blob
+
+    def test_empty_cluster_drops_like_sql_group_by(self, ray_session):
+        from nmalign_ray.functions import simsearch as ss
+
+        # seeds 0 and 1 are IDENTICAL vectors: every row ties between
+        # them and the (score DESC, cid ASC) rule sends all members to
+        # cid 0, so cluster 1's centroid vanishes after the first
+        # update — exactly as its SQL GROUP BY row does.
+        vecs = self._vecs(n=24, dim=6, seed=11)
+        vecs[1] = vecs[0]
+        out = ss.embed_kmeans(
+            ray_session.data.from_arrow(self._emb_table(vecs)),
+            k=3).to_pandas()
+        assert 1 not in set(out["cluster"])
+        want = self._brute(vecs, k=3, iters=ss.KMEANS_ITERS)
+        got = {int(r.vec_id): (int(r.cluster), float(r.score))
+              for r in out.itertuples()}
+        assert got == want
