@@ -607,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": lambda sf: simsearch.embed_kmeans(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
+        "cluster_sample": lambda sf: simsearch.cluster_sample(
+            _read(sf, "embeddings", ["vec_id", "embedding"])
+        ),
     }
 
     # The driver's correctness sweep records the FIRST 50 queries()
@@ -727,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "text_embed": simsearch.TEXT_EMBED_SQL,
         "embed_knn": simsearch.EMBED_KNN_SQL,
         "embed_kmeans": simsearch.EMBED_KMEANS_SQL,
+        "cluster_sample": simsearch.CLUSTER_SAMPLE_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

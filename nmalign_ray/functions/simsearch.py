@@ -1061,3 +1061,73 @@ def embed_kmeans(ds: ray.data.Dataset, k: int = KMEANS_K,
         })
 
     return ds.map_batches(assign_out, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling — the standard downstream use of the k-means
+# partition in curation pipelines (sample evenly across semantic
+# clusters instead of letting the head topic dominate).  Per cluster,
+# the n vectors with the smallest md5(vec_id), ties by vec_id (the
+# repo's established deterministic-order contract, same as
+# textstats.group_sample).  Scale shape: per-batch partial top-n per
+# cluster BEFORE the exchange, then a groupby over the <=k cluster
+# labels — a bounded-fan-in group like semdedup's, never a per-key
+# dispatch; rows through the shuffle are narrow (cluster, vec_id) and
+# capped at k*n per upstream block.
+# ---------------------------------------------------------------------------
+
+CLUSTER_SAMPLE_K = 16
+
+CLUSTER_SAMPLE_SQL = f"""
+SELECT cluster, vec_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                            ) AS rn
+  FROM ({EMBED_KMEANS_SQL}) base
+)
+WHERE rn <= {CLUSTER_SAMPLE_K}
+"""
+
+
+def _cluster_cut(tbl: pa.Table, n: int, with_rank: bool) -> pa.Table:
+    import hashlib
+
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    keys = np.array([hashlib.md5(str(int(d)).encode()).hexdigest()
+                     for d in ids])
+    cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, keys, cl))
+    cl_s = cl[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(cl_s[1:] != cl_s[:-1]) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(cl_s)]]))
+    rank = np.arange(len(cl_s)) - np.repeat(starts, sizes)
+    sel = order[rank < n]
+    out = pa.Table.from_pydict({
+        "cluster": pa.array(cl[sel].astype(np.int64), pa.int64()),
+        "vec_id": pa.array(ids[sel].astype(np.int64), pa.int64()),
+    })
+    if with_rank:
+        out = out.append_column(
+            "sample_rank",
+            pa.array((rank[rank < n] + 1).astype(np.int64), pa.int64()))
+    return out
+
+
+def cluster_sample(ds: ray.data.Dataset, k: int = KMEANS_K,
+                   n: int = CLUSTER_SAMPLE_K) -> ray.data.Dataset:
+    """(vec_id, embedding) -> (cluster, vec_id, sample_rank): the n
+    vectors per k-means cluster with the smallest md5(vec_id)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _cluster_cut(b.select(["cluster", "vec_id"]), n, False)
+
+    def final(g: pa.Table) -> pa.Table:
+        return _cluster_cut(g, n, True)
+
+    return (embed_kmeans(ds, k=k)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster", num_partitions=k)
+            .map_groups(final, batch_format="pyarrow"))
