@@ -230,7 +230,8 @@ def _media_features_projection(features_ds):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
+    from nmalign_ray.functions import (dedup, linkgraph, media, relational,
+                                       simsearch, textstats)
     from nmalign_ray.functions.textstats import round6
 
     def extract_align(sf_dir):
@@ -610,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sample": lambda sf: simsearch.cluster_sample(
             _read(sf, "embeddings", ["vec_id", "embedding"])
         ),
+        "pagerank": lambda sf: linkgraph.pagerank(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey"])
+        ),
     }
 
     # The driver's correctness sweep records the FIRST 50 queries()
@@ -672,7 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from nmalign_ray.functions import dedup, media, relational, simsearch, textstats
+    from nmalign_ray.functions import (dedup, linkgraph, media, relational,
+                                       simsearch, textstats)
 
     return {
         "extract_align": EXTRACT_ALIGN_SQL,
@@ -731,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": simsearch.EMBED_KNN_SQL,
         "embed_kmeans": simsearch.EMBED_KMEANS_SQL,
         "cluster_sample": simsearch.CLUSTER_SAMPLE_SQL,
+        "pagerank": linkgraph.PAGERANK_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

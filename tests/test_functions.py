@@ -2170,3 +2170,54 @@ class TestEmbedKmeans:
         got = {int(r.vec_id): (int(r.cluster), float(r.score))
               for r in out.itertuples()}
         assert got == want
+
+
+class TestPagerank:
+    """Brute serial replay of the fixed-point integer PageRank contract
+    (linkgraph.pagerank) plus partition invariance."""
+
+    def _lineitem(self, n=60, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.Table.from_pydict({
+            "l_partkey": pa.array(rng.integers(1, 13, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, 5, n), pa.int64()),
+        })
+
+    def _brute(self, tbl, iters):
+        from nmalign_ray.functions import linkgraph as lg
+
+        pairs = sorted({(p, s) for p, s in zip(
+            tbl["l_partkey"].to_pylist(), tbl["l_suppkey"].to_pylist())})
+        edges = [(p * 2, s * 2 + 1) for p, s in pairs] + \
+                [(s * 2 + 1, p * 2) for p, s in pairs]
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        r = {u: lg.PAGERANK_SCALE for u in deg}
+        for _ in range(iters):
+            nxt = {}
+            for u, v in edges:
+                nxt[v] = nxt.get(v, 0) + r[u] // deg[u]
+            r = {v: lg._BASE + (lg._DAMP_NUM * s) // 100
+                 for v, s in nxt.items()}
+        return {("part" if v % 2 == 0 else "supplier", v // 2): rv
+                for v, rv in r.items()}
+
+    def test_brute_replay_and_partition_invariance(self, ray_session):
+        from nmalign_ray.functions import linkgraph as lg
+
+        tbl = self._lineitem()
+        a = lg.pagerank(ray_session.data.from_arrow(tbl)).to_pandas()
+        b = lg.pagerank(
+            ray_session.data.from_arrow(tbl).repartition(9)).to_pandas()
+        want = self._brute(tbl, lg.PAGERANK_ITERS)
+        got = {(r.node_kind, int(r.key)): int(r.pagerank)
+               for r in a.itertuples()}
+        assert got == want
+        key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+        assert key(a) == key(b)
+        # total mass stays near n * SCALE (sanity: the update conserves
+        # mass up to the integer-floor leakage)
+        n = len(want)
+        assert 0.9 * n * lg.PAGERANK_SCALE < sum(got.values()) \
+            <= n * lg.PAGERANK_SCALE
