@@ -614,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": lambda sf: linkgraph.pagerank(
             _read(sf, "lineitem", ["l_partkey", "l_suppkey"])
         ),
+        "bpe_pair_counts": lambda sf: textstats.bpe_pair_counts(
+            _read(sf, "documents", ["doc_id", "text"])
+        ),
     }
 
     # The driver's correctness sweep records the FIRST 50 queries()
@@ -737,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": simsearch.EMBED_KMEANS_SQL,
         "cluster_sample": simsearch.CLUSTER_SAMPLE_SQL,
         "pagerank": linkgraph.PAGERANK_SQL,
+        "bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

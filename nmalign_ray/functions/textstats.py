@@ -2403,3 +2403,80 @@ def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
              "entropy": pa.array(hs, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting — the inner statistic of byte-pair-encoding tokenizer
+# induction (Sennrich et al. 2016, arXiv:1508.07909): the corpus-wide
+# frequency of every ADJACENT character pair inside a token; the most
+# frequent pair is the merge BPE would perform next.  Scale shape mirrors
+# top_terms: each batch dictionary-encodes its tokens and walks only the
+# batch-DISTINCT tokens (vocabulary-bounded, the hll_distinct trick),
+# multiplying each token's within-token pair occurrences by the token's
+# batch count; the exchange moves (pair, cnt) partials bounded by the
+# PAIR vocabulary (smaller still than the token vocabulary), the global
+# sum is a built-in Sum aggregate, and the top-k cut is a gated
+# pair-vocabulary-sized collect.
+# ---------------------------------------------------------------------------
+
+BPE_PAIRS_K = 32
+
+BPE_PAIR_COUNTS_SQL = f"""
+SELECT pair, cnt FROM (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, count(*) AS cnt
+  FROM (
+    SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ) WHERE length(w) >= 2
+  )
+  GROUP BY pair
+)
+ORDER BY cnt DESC, pair
+LIMIT {BPE_PAIRS_K}
+"""
+
+
+def bpe_pair_counts(ds: ray.data.Dataset, k: int = BPE_PAIRS_K
+                    ) -> ray.data.Dataset:
+    """Corpus top-k adjacent within-token character pairs — the first
+    merge table of BPE tokenizer training."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"]))
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(trimmed, r"\s+"))
+        if len(toks) == 0:
+            return pa.Table.from_pydict(
+                {"pair": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(toks.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tok_cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        counts: Counter = Counter()
+        for tok, n in zip(enc.dictionary.to_pylist(), tok_cnt):
+            if len(tok) < 2 or n == 0:  # '' split artifact has n>0, len 0
+                continue
+            for i in range(len(tok) - 1):
+                counts[tok[i:i + 2]] += int(n)
+        return pa.Table.from_pydict(
+            {"pair": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "pair"
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def cut(df):
+        out = df.sort_values(["cnt", "pair"],
+                             ascending=[False, True]).head(k)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return ray.data.from_pandas(cut(_vocab_pandas(
+        agg, "bpe_pair_counts",
+        empty_cols={"pair": "object", "cnt": "int64"})))

@@ -2221,3 +2221,39 @@ class TestPagerank:
         n = len(want)
         assert 0.9 * n * lg.PAGERANK_SCALE < sum(got.values()) \
             <= n * lg.PAGERANK_SCALE
+
+
+class TestBpePairCounts:
+    def _brute(self, texts, k=32):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                for i in range(len(w) - 1):
+                    c[w[i:i + 2]] += 1
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_brute_replay_and_partition_invariance(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        # 'aaa' pins within-token pair multiplicity (aa counted twice)
+        texts = ["the cat sat", "aaa abba the", "  ", "x", "thee three"]
+        a = ts.bpe_pair_counts(
+            ray_session.data.from_arrow(docs_table(texts))).to_pandas()
+        b = ts.bpe_pair_counts(
+            ray_session.data.from_arrow(docs_table(texts)).repartition(4)
+        ).to_pandas()
+        got = list(zip(a["pair"], a["cnt"]))
+        assert got == self._brute(texts)
+        assert got == list(zip(b["pair"], b["cnt"]))
+
+    def test_empty_corpus(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.bpe_pair_counts(
+            ray_session.data.from_arrow(docs_table(["", "  "]))).to_pandas()
+        # column names drop through Ray's empty-dataset to_pandas (the
+        # documented quirk _vocab_pandas guards upstream of) — zero rows
+        # without an exception is the contract, as for top_terms
+        assert len(out) == 0
