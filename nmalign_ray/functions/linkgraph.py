@@ -121,9 +121,9 @@ def _build_edges(lineitem: ray.data.Dataset,
 
     return (lineitem
             .map_batches(pair_partial, batch_format="pyarrow")
-            .groupby("shard", num_partitions=min(width, 64))
+            .groupby("shard", num_partitions=max(32, cluster_cpus()))
             .map_groups(pair_distinct, batch_format="pandas")
-            .groupby("shard", num_partitions=min(width, 64))
+            .groupby("shard", num_partitions=max(32, cluster_cpus()))
             .map_groups(annotate_deg, batch_format="pandas")
             .materialize())
 
@@ -134,7 +134,7 @@ def pagerank(lineitem: ray.data.Dataset,
     PageRank on the symmetric part<->supplier graph, ``iters`` update
     rounds from a uniform integer mass."""
     width = _width()
-    nparts = min(width, 64)
+    nparts = max(32, cluster_cpus())
     edges = _build_edges(lineitem, width)
 
     def contrib0(b: pa.Table) -> pa.Table:
