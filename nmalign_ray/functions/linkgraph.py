@@ -39,6 +39,8 @@ does.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -92,9 +94,12 @@ FROM r{PAGERANK_ITERS}
 """
 
 
-def _build_edges(lineitem: ray.data.Dataset,
-                 width: int) -> ray.data.Dataset:
-    """lineitem -> materialized symmetric edge list (src, dst, deg)."""
+PAGERANK_DRIVER_MAX = int(os.environ.get(
+    "GRAFT_PAGERANK_DRIVER_MAX", 4_000_000))
+
+
+def _pair_rows(lineitem: ray.data.Dataset, width: int) -> ray.data.Dataset:
+    """One streamed pass: batch-distinct (part, supplier) pair keys."""
 
     def pair_partial(b: pa.Table) -> pa.Table:
         p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -104,6 +109,14 @@ def _build_edges(lineitem: ray.data.Dataset,
             "shard": pa.array(key % width, pa.int64()),
             "key": pa.array(key, pa.int64()),
         })
+
+    return lineitem.map_batches(pair_partial, batch_format="pyarrow")
+
+
+def _build_edges(pairs: ray.data.Dataset,
+                 width: int) -> ray.data.Dataset:
+    """batch-distinct pair rows -> materialized symmetric edge list
+    (src, dst, deg)."""
 
     def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
         key = np.unique(g["key"].to_numpy())
@@ -119,8 +132,7 @@ def _build_edges(lineitem: ray.data.Dataset,
                              "dst": g["dst"].to_numpy(np.int64),
                              "deg": deg})
 
-    return (lineitem
-            .map_batches(pair_partial, batch_format="pyarrow")
+    return (pairs
             .groupby("shard", num_partitions=max(32, cluster_cpus()))
             .map_groups(pair_distinct, batch_format="pandas")
             .groupby("shard", num_partitions=max(32, cluster_cpus()))
@@ -128,38 +140,77 @@ def _build_edges(lineitem: ray.data.Dataset,
             .materialize())
 
 
+def _pagerank_driver(key: np.ndarray, iters: int) -> pd.DataFrame:
+    """Exact integer PageRank on the driver from GLOBALLY distinct pair
+    keys — the small-graph fast path (same integer update, bit-identical
+    to the distributed loop; pinned by TestPagerank)."""
+    p, s = key >> 32, key & ((1 << 32) - 1)
+    src = np.concatenate([p * 2, s * 2 + 1])
+    dst = np.concatenate([s * 2 + 1, p * 2])
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    dst_idx = np.searchsorted(nodes, dst)  # symmetric: same node set
+    deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), PAGERANK_SCALE, np.int64)
+    for _ in range(iters):
+        sums = np.zeros(len(nodes), np.int64)
+        np.add.at(sums, dst_idx, r[src_idx] // deg[src_idx])
+        r = _BASE + (_DAMP_NUM * sums) // 100
+    return pd.DataFrame({
+        "node_kind": np.where(nodes % 2 == 0, "part", "supplier"),
+        "key": nodes // 2,
+        "pagerank": r,
+    })
+
+
 def pagerank(lineitem: ray.data.Dataset,
-             iters: int = PAGERANK_ITERS) -> ray.data.Dataset:
+             iters: int = PAGERANK_ITERS,
+             driver_max: int = PAGERANK_DRIVER_MAX) -> ray.data.Dataset:
     """lineitem -> (node_kind, key, pagerank): fixed-point integer
     PageRank on the symmetric part<->supplier graph, ``iters`` update
-    rounds from a uniform integer mass."""
+    rounds from a uniform integer mass.
+
+    Two physical forms, the ``dedup.dup_groups`` LABEL_DRIVER_MAX
+    precedent: when the streamed batch-distinct pair partials fit under
+    ``driver_max`` rows (gated ``to_pandas(limit=...)`` — loud, never
+    truncating), the whole graph is small and the iterations run as one
+    numpy loop on the driver; above the gate, the distributed loop
+    below.  Both produce bit-identical integers (pinned by
+    TestPagerank).
+
+    Distributed form, exchange-fused iterations: the dst shard that
+    SUMS round i's contributions (``dst % width``) is the same shard
+    that round i+1 needs the resulting ranks on (``src % width`` —
+    identical formula), so each round's rank update and the next
+    round's contribution pass run in ONE shard task over a union of
+    edge rows and partial rows — ``iters`` sort exchanges total instead
+    of ``2 * iters`` (measured: each Ray sort exchange costs seconds of
+    barrier wall regardless of these row volumes)."""
     width = _width()
     nparts = max(32, cluster_cpus())
-    edges = _build_edges(lineitem, width)
+    pairs = _pair_rows(lineitem, width)
+    if driver_max > 0:
+        try:
+            df = pairs.to_pandas(limit=driver_max)
+            key = np.unique(df["key"].to_numpy())
+            return ray.data.from_pandas(_pagerank_driver(key, iters))
+        except ValueError:
+            pairs = _pair_rows(lineitem, width)  # consumed by the probe
+    edges = _build_edges(pairs, width)
 
     def contrib0(b: pa.Table) -> pa.Table:
         # r0 is the constant SCALE, so round 1 needs no rank join at all
         dst = b["dst"].to_numpy(zero_copy_only=False)
         deg = b["deg"].to_numpy(zero_copy_only=False)
         part = pd.Series(PAGERANK_SCALE // deg).groupby(dst).sum()
+        node = part.index.to_numpy(np.int64)
+        n = len(node)
         return pa.Table.from_pydict({
-            "shard": pa.array(part.index.to_numpy(np.int64) % width,
-                              pa.int64()),
-            "dst": pa.array(part.index.to_numpy(np.int64), pa.int64()),
-            "partial": pa.array(part.to_numpy(np.int64), pa.int64()),
+            "shard": pa.array(node % width, pa.int64()),
+            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+            "a": pa.array(node, pa.int64()),
+            "b": pa.array(part.to_numpy(np.int64), pa.int64()),
+            "c": pa.array(np.zeros(n, np.int64), pa.int64()),
         })
-
-    def apply_update(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("dst")["partial"].sum()
-        node = s.index.to_numpy(np.int64)
-        return pd.DataFrame({
-            "node": node,
-            "r": _BASE + (_DAMP_NUM * s.to_numpy(np.int64)) // 100,
-        })
-
-    ranks = (edges.map_batches(contrib0, batch_format="pyarrow")
-             .groupby("shard", num_partitions=nparts)
-             .map_groups(apply_update, batch_format="pandas"))
 
     def edge_rows(b: pa.Table) -> pa.Table:
         src = b["src"].to_numpy(zero_copy_only=False)
@@ -172,44 +223,50 @@ def pagerank(lineitem: ray.data.Dataset,
             "c": b["deg"].combine_chunks().cast(pa.int64()),
         })
 
-    def rank_rows(b: pa.Table) -> pa.Table:
-        node = b["node"].to_numpy(zero_copy_only=False)
-        n = len(node)
+    def _local_ranks(g: pd.DataFrame):
+        """Sum the shard's partial rows (kind 1) into this round's ranks
+        for the shard-local nodes — the integer PageRank update."""
+        is_part = g["kind"].to_numpy() == 1
+        s = pd.Series(g["b"].to_numpy()[is_part]).groupby(
+            g["a"].to_numpy()[is_part]).sum()
+        return (s.index.to_numpy(np.int64),
+                _BASE + (_DAMP_NUM * s.to_numpy(np.int64)) // 100)
+
+    def update_and_contrib(g: pd.DataFrame) -> pa.Table:
+        node, r_arr = _local_ranks(g)
+        r = dict(zip(node, r_arr))
+        is_edge = g["kind"].to_numpy() == 0
+        src = g["a"].to_numpy()[is_edge]
+        dst = g["b"].to_numpy()[is_edge]
+        deg = g["c"].to_numpy()[is_edge]
+        rv = np.array([r[u] for u in src], dtype=np.int64)
+        part = pd.Series(rv // deg).groupby(dst).sum()
+        out = part.index.to_numpy(np.int64)
+        n = len(out)
+        # arrow out: the next round UNIONs these rows with the arrow
+        # edge rows, and the sort exchange requires one block type
         return pa.Table.from_pydict({
-            "shard": pa.array(node % width, pa.int64()),
+            "shard": pa.array(out % width, pa.int64()),
             "kind": pa.array(np.ones(n, np.int64), pa.int64()),
-            "a": pa.array(node.astype(np.int64), pa.int64()),
-            "b": b["r"].combine_chunks().cast(pa.int64()),
+            "a": pa.array(out, pa.int64()),
+            "b": pa.array(part.to_numpy(np.int64), pa.int64()),
             "c": pa.array(np.zeros(n, np.int64), pa.int64()),
         })
 
-    def shard_contrib(g: pd.DataFrame) -> pd.DataFrame:
-        is_rank = g["kind"].to_numpy() == 1
-        r = dict(zip(g["a"].to_numpy()[is_rank], g["b"].to_numpy()[is_rank]))
-        src = g["a"].to_numpy()[~is_rank]
-        dst = g["b"].to_numpy()[~is_rank]
-        deg = g["c"].to_numpy()[~is_rank]
-        rv = np.array([r[u] for u in src], dtype=np.int64)
-        part = pd.Series(rv // deg).groupby(dst).sum()
-        node = part.index.to_numpy(np.int64)
-        return pd.DataFrame({"shard": node % width, "dst": node,
-                             "partial": part.to_numpy(np.int64)})
-
-    for _ in range(iters - 1):
-        mixed = (edges.map_batches(edge_rows, batch_format="pyarrow")
-                 .union(ranks.map_batches(rank_rows, batch_format="pyarrow")))
-        ranks = (mixed.groupby("shard", num_partitions=nparts)
-                 .map_groups(shard_contrib, batch_format="pandas")
-                 .groupby("shard", num_partitions=nparts)
-                 .map_groups(apply_update, batch_format="pandas"))
-
-    def project(b: pa.Table) -> pa.Table:
-        node = b["node"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict({
-            "node_kind": pa.array(
-                np.where(node % 2 == 0, "part", "supplier")),
-            "key": pa.array(node // 2, pa.int64()),
-            "pagerank": b["r"].combine_chunks().cast(pa.int64()),
+    def update_and_project(g: pd.DataFrame) -> pd.DataFrame:
+        node, r_arr = _local_ranks(g)
+        return pd.DataFrame({
+            "node_kind": np.where(node % 2 == 0, "part", "supplier"),
+            "key": node // 2,
+            "pagerank": r_arr,
         })
 
-    return ranks.map_batches(project, batch_format="pyarrow")
+    partials = edges.map_batches(contrib0, batch_format="pyarrow")
+    for _ in range(iters - 1):
+        mixed = edges.map_batches(edge_rows, batch_format="pyarrow") \
+                     .union(partials)
+        partials = (mixed.groupby("shard", num_partitions=nparts)
+                    .map_groups(update_and_contrib, batch_format="pandas"))
+
+    return (partials.groupby("shard", num_partitions=nparts)
+            .map_groups(update_and_project, batch_format="pandas"))

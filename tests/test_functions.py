@@ -2210,12 +2210,17 @@ class TestPagerank:
         a = lg.pagerank(ray_session.data.from_arrow(tbl)).to_pandas()
         b = lg.pagerank(
             ray_session.data.from_arrow(tbl).repartition(9)).to_pandas()
+        # driver_max=0 forces the DISTRIBUTED loop: both physical forms
+        # must produce bit-identical integers
+        c = lg.pagerank(ray_session.data.from_arrow(tbl).repartition(5),
+                        driver_max=0).to_pandas()
         want = self._brute(tbl, lg.PAGERANK_ITERS)
         got = {(r.node_kind, int(r.key)): int(r.pagerank)
                for r in a.itertuples()}
         assert got == want
         key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
         assert key(a) == key(b)
+        assert key(a) == key(c)
         # total mass stays near n * SCALE (sanity: the update conserves
         # mass up to the integer-floor leakage)
         n = len(want)
