@@ -617,6 +617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": lambda sf: textstats.bpe_pair_counts(
             _read(sf, "documents", ["doc_id", "text"])
         ),
+        "source_hll": lambda sf: textstats.source_hll(
+            _read(sf, "documents", ["source", "text"])
+        ),
     }
 
     # The driver's correctness sweep records the FIRST 50 queries()
@@ -741,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample": simsearch.CLUSTER_SAMPLE_SQL,
         "pagerank": linkgraph.PAGERANK_SQL,
         "bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
+        "source_hll": textstats.SOURCE_HLL_SQL,
         "grouped_topk": relational.GROUPED_TOPK_SQL,
         "running_totals": relational.RUNNING_TOTALS_SQL,
         "cms_heavy_hitters": textstats.CMS_HEAVY_HITTERS_SQL,

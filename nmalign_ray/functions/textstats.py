@@ -2480,3 +2480,109 @@ def bpe_pair_counts(ds: ray.data.Dataset, k: int = BPE_PAIRS_K
     return ray.data.from_pandas(cut(_vocab_pandas(
         agg, "bpe_pair_counts",
         empty_cols={"pair": "object", "cnt": "int64"})))
+
+
+# ---------------------------------------------------------------------------
+# Per-group HyperLogLog (distinct tokens per source) — the KEYED form of
+# the sketch: where an exact per-key count-distinct must shuffle every
+# (key, token) pair, per-key HLL registers are map-side mergeable, so
+# the exchange is bounded by groups x m regardless of corpus size — the
+# standard per-host / per-domain cardinality shape of web curation.
+# Register and estimator contracts are hll_distinct's, applied per
+# source (same integer rho, same bucket-ordered float fold).
+# ---------------------------------------------------------------------------
+
+SOURCE_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> '')
+),
+reg AS (
+  SELECT source, CAST(hv >> {64 - HLL_P} AS BIGINT) AS bucket,
+         max(CASE WHEN (hv & {_HLL_LOW}) = 0 THEN {64 - HLL_P + 1}
+                  ELSE {64 - HLL_P + 1}
+                       - length(bin(CAST(hv & {_HLL_LOW} AS BIGINT))) END)
+           AS rho
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT source, count(*) AS nb, max(rho) AS mx,
+         list_sum(list(pow(2.0, -CAST(rho AS DOUBLE)) ORDER BY bucket)) AS sr
+  FROM reg GROUP BY source
+)
+SELECT source,
+       CAST(nb AS BIGINT) AS n_buckets_set,
+       CAST(mx AS BIGINT) AS max_rho,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 / (sr + CAST({HLL_M} - nb AS DOUBLE)) <= 2.5 * {HLL_M}.0
+                 AND nb < {HLL_M}
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST({HLL_M} - nb AS DOUBLE))
+            ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                 / (sr + CAST({HLL_M} - nb AS DOUBLE))
+       END AS estimate_distinct
+FROM s
+"""
+
+
+def source_hll(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source distinct-token estimate via 4096-register HLLs.
+
+    Per-batch partials emit at most (sources-in-batch x m)
+    (source, bucket, rho) rows; the register merge is the built-in Max
+    over the (source, bucket) key space — bounded by groups x m, never
+    token-sized — and the driver folds estimates from a gated
+    groups x m collect."""
+    from ray.data.aggregate import Max
+
+    shift = 64 - HLL_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        by_src: dict[str, set] = {}
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            t = text.strip()
+            if t:
+                by_src.setdefault(src, set()).update(t.lower().split())
+        srcs, buckets, rhos = [], [], []
+        for src, toks in by_src.items():
+            regs: dict[int, int] = {}
+            for tok in toks:
+                hv = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                b = hv >> shift
+                w = hv & _HLL_LOW
+                rho = shift + 1 if w == 0 else shift + 1 - w.bit_length()
+                if rho > regs.get(b, 0):
+                    regs[b] = rho
+            srcs.extend([src] * len(regs))
+            buckets.extend(regs.keys())
+            rhos.extend(regs.values())
+        return pa.Table.from_pydict(
+            {"source": pa.array(srcs, pa.string()),
+             "bucket": pa.array(buckets, pa.int64()),
+             "rho": pa.array(rhos, pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "bucket"])
+              .aggregate(Max("rho", alias_name="rho")))
+    df = _vocab_pandas(merged, "source_hll",
+                       empty_cols={"source": "object", "bucket": "int64",
+                                   "rho": "int64"})
+    out = {"source": [], "n_buckets_set": [], "max_rho": [],
+           "estimate_distinct": []}
+    for src in sorted(df["source"].unique()):
+        g = df[df["source"] == src]
+        regs = {int(b): int(r) for b, r in zip(g["bucket"], g["rho"])}
+        out["source"].append(src)
+        out["n_buckets_set"].append(len(regs))
+        out["max_rho"].append(max(regs.values()))
+        out["estimate_distinct"].append(_hll_estimate(regs))
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "source": pa.array(out["source"], pa.string()),
+        "n_buckets_set": pa.array(out["n_buckets_set"], pa.int64()),
+        "max_rho": pa.array(out["max_rho"], pa.int64()),
+        "estimate_distinct": pa.array(out["estimate_distinct"],
+                                      pa.float64()),
+    }))

@@ -2262,3 +2262,39 @@ class TestBpePairCounts:
         # documented quirk _vocab_pandas guards upstream of) — zero rows
         # without an exception is the contract, as for top_terms
         assert len(out) == 0
+
+
+class TestSourceHll:
+    def _tbl(self, texts, sources):
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "source": pa.array(sources, pa.string()),
+             "text": pa.array(texts, pa.string())})
+
+    def test_brute_replay_and_partition_invariance(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        texts = ["alpha beta gamma", "beta delta", "  ", "gamma epsilon",
+                 "alpha alpha zeta"]
+        sources = ["a", "b", "a", "b", "a"]
+        a = ts.source_hll(ray_session.data.from_arrow(
+            self._tbl(texts, sources))).to_pandas()
+        b = ts.source_hll(ray_session.data.from_arrow(
+            self._tbl(texts, sources)).repartition(4)).to_pandas()
+        hll = TestHllDistinct()
+        for src in ("a", "b"):
+            docs = [t for t, s in zip(texts, sources) if s == src]
+            regs, exact = hll._brute_regs(docs)
+            row = a[a["source"] == src].iloc[0]
+            assert row["n_buckets_set"] == len(regs)
+            assert row["estimate_distinct"] == ts._hll_estimate(regs)
+            # tiny cardinality: linear counting is ~exact
+            assert abs(row["estimate_distinct"] - exact) < 0.01
+        assert a.equals(b)
+
+    def test_empty_corpus(self, ray_session):
+        from nmalign_ray.functions import textstats as ts
+
+        out = ts.source_hll(ray_session.data.from_arrow(
+            self._tbl(["", "  "], ["a", "b"]))).to_pandas()
+        assert len(out) == 0
