@@ -190,11 +190,18 @@ def pagerank(lineitem: ray.data.Dataset,
     pairs = _pair_rows(lineitem, width)
     if driver_max > 0:
         try:
+            # only the gated collect may fall through to the distributed
+            # loop — anything after it must stay loud (r5 review f.7)
             df = pairs.to_pandas(limit=driver_max)
-            key = np.unique(df["key"].to_numpy())
-            return ray.data.from_pandas(_pagerank_driver(key, iters))
         except ValueError:
-            pairs = _pair_rows(lineitem, width)  # consumed by the probe
+            df = None
+        if df is not None:
+            # Ray returns a COLUMN-LESS frame for an empty dataset (the
+            # _vocab_pandas quirk): an empty graph yields zero rows,
+            # like the SQL twin (r5 review finding 1)
+            key = (np.unique(df["key"].to_numpy())
+                   if "key" in df.columns else np.array([], np.int64))
+            return ray.data.from_pandas(_pagerank_driver(key, iters))
     edges = _build_edges(pairs, width)
 
     def contrib0(b: pa.Table) -> pa.Table:
@@ -234,12 +241,14 @@ def pagerank(lineitem: ray.data.Dataset,
 
     def update_and_contrib(g: pd.DataFrame) -> pa.Table:
         node, r_arr = _local_ranks(g)
-        r = dict(zip(node, r_arr))
         is_edge = g["kind"].to_numpy() == 0
         src = g["a"].to_numpy()[is_edge]
         dst = g["b"].to_numpy()[is_edge]
         deg = g["c"].to_numpy()[is_edge]
-        rv = np.array([r[u] for u in src], dtype=np.int64)
+        # node is sorted (pandas groupby index): vectorized rank lookup —
+        # this path only runs above the driver gate, i.e. with millions
+        # of edges per shard, where a python dict loop would dominate
+        rv = r_arr[np.searchsorted(node, src)]
         part = pd.Series(rv // deg).groupby(dst).sum()
         out = part.index.to_numpy(np.int64)
         n = len(out)

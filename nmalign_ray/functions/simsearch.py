@@ -917,32 +917,42 @@ def semdedup(ds: ray.data.Dataset,
 # Determinism contract (why this is SQL-hash-exact BY CONSTRUCTION, not
 # just in practice): every vector is snapped to an integer grid first
 # (floor(x * 1000), elementwise — np.floor and DuckDB floor agree
-# bitwise on identical float64 inputs).  Centroids are then kept as the
-# elementwise INTEGER SUM of their members — never the float mean: a
-# parallel float sum is accumulation-order-dependent on both engines,
-# while int64 sums are exact in any order, and cosine similarity is
-# scale-invariant so sum and mean assign identically.  All magnitudes
-# stay far inside 2**53 (|grid element| <= ~1000, |sum element| <=
-# n_rows * 1000), so the float64 dot products and norms over these
-# integer-valued arrays are exact integers too; the only float ops are
-# one sqrt and one division per (row, centroid), identical on both
-# sides up to the shared round-half-away-at-6 contract (round6 — the
-# same proven pairing every knn_* oracle uses).  Ties break (score
-# DESC, cid ASC) = numpy argmax-first over ascending-cid centroids.
+# bitwise on identical float64 inputs).  Centroids are the elementwise
+# TRUNCATED INTEGER MEAN of the members — int64 sums and counts fold
+# exactly in any accumulation order (a parallel float mean would be
+# order-dependent on both engines), then ONE integer division on the
+# fully aggregated values, truncating toward zero on both sides
+# (DuckDB ``//`` truncates: -7 // 2 = -3; mirrored by ``_trunc_div``,
+# NOT python ``//`` which floors).  The mean keeps every centroid
+# element inside the grid (|element| <= ~1000) AT ANY CORPUS SCALE, so
+# the float64 dot products and norms over these integer-valued arrays
+# are exact integers with room to spare under 2**53 (a raw-sum centroid
+# would breach exactness once a cluster held ~10^4 worst-case members
+# — the r5 review's finding 4); the only float ops are one sqrt and
+# one division per (row, centroid), identical on both sides up to the
+# shared round-half-away-at-6 contract (round6 — the same proven
+# pairing every knn_* oracle uses).  Ties break (score DESC, cid ASC)
+# = numpy argmax-first over ascending-cid centroids.
 #
 # Scale shape: centroids are k x dim integers (driver-tiny), broadcast
 # once per iteration with ray.put; each iteration is ONE streamed pass
-# over the table emitting <=k partial-sum rows per block, folded
-# incrementally on the driver via iter_batches (block-count-bounded
-# stream, never a corpus materialization; at >>10^6 blocks the fold
-# moves behind a groupby('cid') tree-reduce unchanged).  No shuffle
-# anywhere — the assignment pass is embarrassingly parallel.
+# over the table emitting <=k partial (sum, count) rows per block,
+# folded incrementally on the driver via iter_batches
+# (block-count-bounded stream, never a corpus materialization; at
+# >>10^6 blocks the fold moves behind a groupby('cid') tree-reduce
+# unchanged).  No shuffle anywhere — the assignment pass is
+# embarrassingly parallel.
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
 KMEANS_ITERS = 3  # assignment rounds (2 centroid updates)
 KMEANS_GRID = 1000
-EMB_DIM = 64  # the embeddings-table fixture dimension (TESTDATA.md)
+
+
+def _trunc_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB ``//`` parity
+    (python/numpy ``//`` floors, which differs on negative sums)."""
+    return np.sign(a) * (np.abs(a) // b)
 
 
 def _int_grid(batch: pa.Table) -> np.ndarray:
@@ -973,7 +983,8 @@ EMBED_KMEANS_ASSIGN = """
 
 EMBED_KMEANS_UPDATE = """
   SELECT cid, list(sv ORDER BY pos) AS cv FROM (
-    SELECT a.cid, g.pos, CAST(sum(e.iv[g.pos]) AS BIGINT) AS sv
+    SELECT a.cid, g.pos,
+           CAST(sum(e.iv[g.pos]) AS BIGINT) // count(*) AS sv
     FROM {a} a JOIN e USING (vec_id)
     CROSS JOIN generate_series(1, {dim}) AS g(pos)
     GROUP BY a.cid, g.pos)
@@ -989,9 +1000,9 @@ WITH e AS (
 ),
 c0 AS (SELECT vec_id AS cid, iv AS cv FROM e WHERE vec_id < {KMEANS_K}),
 a0 AS ({EMBED_KMEANS_ASSIGN.format(score="", c="c0")}),
-c1 AS ({EMBED_KMEANS_UPDATE.format(a="a0", dim=EMB_DIM)}),
+c1 AS ({EMBED_KMEANS_UPDATE.format(a="a0", dim=EMBED_DIM)}),
 a1 AS ({EMBED_KMEANS_ASSIGN.format(score="", c="c1")}),
-c2 AS ({EMBED_KMEANS_UPDATE.format(a="a1", dim=EMB_DIM)}),
+c2 AS ({EMBED_KMEANS_UPDATE.format(a="a1", dim=EMBED_DIM)}),
 a2 AS ({EMBED_KMEANS_ASSIGN.format(score=", score", c="c2")})
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, score FROM a2
 """
@@ -1002,15 +1013,23 @@ def embed_kmeans(ds: ray.data.Dataset, k: int = KMEANS_K,
     """(vec_id, embedding) -> (vec_id, cluster, score): spherical k-means
     with ``iters`` assignment rounds.  Init = the vectors with the ``k``
     smallest vec_ids (a bounded filtered collect); see the block comment
-    above for the integer-sum determinism contract and the streamed
-    per-iteration fold."""
+    above for the trunc-integer-mean determinism contract and the
+    streamed per-iteration fold."""
 
     def seed_rows(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids < k, pa.bool_()))
 
-    seed = (ds.map_batches(seed_rows, batch_format="pyarrow")
-            .to_pandas().sort_values("vec_id"))
+    seed = ds.map_batches(seed_rows, batch_format="pyarrow").to_pandas()
+    if len(seed) == 0:
+        # no seed vectors (empty table / ids not starting at 0): c0 is
+        # empty, so the SQL twin yields zero rows — match it (guards the
+        # column-less empty-to_pandas quirk, r5 review finding 2)
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}))
+    seed = seed.sort_values("vec_id")
     cids = seed["vec_id"].to_numpy().astype(np.int64)
     cents = np.floor(
         np.stack(seed["embedding"].to_numpy()).astype(np.float64)
@@ -1031,20 +1050,29 @@ def embed_kmeans(ds: ray.data.Dataset, k: int = KMEANS_K,
                 "cid": pa.array(cids_b[present], pa.int64()),
                 "sv": pa.array(list(acc[present].astype(np.int64)),
                                pa.list_(pa.int64())),
+                "cnt": pa.array(cnt[present].astype(np.int64), pa.int64()),
             })
 
         sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
         for b in ds.map_batches(partial, batch_format="pyarrow") \
                    .iter_batches(batch_format="pyarrow"):
             part_ids = b["cid"].to_numpy(zero_copy_only=False)
             part_sv = b["sv"].to_pylist()
-            for cid, sv in zip(part_ids, part_sv):
+            part_n = b["cnt"].to_numpy(zero_copy_only=False)
+            for cid, sv, n in zip(part_ids, part_sv, part_n):
                 vec = np.asarray(sv, dtype=np.int64)
                 prev = sums.get(int(cid))
                 sums[int(cid)] = vec if prev is None else prev + vec
-        # empty clusters vanish, exactly as their SQL GROUP BY rows do
+                cnts[int(cid)] = cnts.get(int(cid), 0) + int(n)
+        # empty clusters vanish, exactly as their SQL GROUP BY rows do;
+        # divide ONCE on the fully folded sums (trunc toward zero =
+        # DuckDB //) so every centroid element stays inside the grid
         cids = np.array(sorted(sums), dtype=np.int64)
-        cents = np.stack([sums[int(c)] for c in cids]).astype(np.float64)
+        cents = _trunc_div(
+            np.stack([sums[int(c)] for c in cids]),
+            np.array([[cnts[int(c)]] for c in cids], dtype=np.int64),
+        ).astype(np.float64)
 
     ref = ray.put((cids, cents))
 
@@ -1092,27 +1120,17 @@ WHERE rn <= {CLUSTER_SAMPLE_K}
 
 
 def _cluster_cut(tbl: pa.Table, n: int, with_rank: bool) -> pa.Table:
-    import hashlib
+    from .textstats import _grouped_hash_head
 
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
-    keys = np.array([hashlib.md5(str(int(d)).encode()).hexdigest()
-                     for d in ids])
     cl = tbl["cluster"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, keys, cl))
-    cl_s = cl[order]
-    starts = np.concatenate(
-        [[0], np.flatnonzero(cl_s[1:] != cl_s[:-1]) + 1])
-    sizes = np.diff(np.concatenate([starts, [len(cl_s)]]))
-    rank = np.arange(len(cl_s)) - np.repeat(starts, sizes)
-    sel = order[rank < n]
+    sel, ranks = _grouped_hash_head(cl, ids, n)
     out = pa.Table.from_pydict({
         "cluster": pa.array(cl[sel].astype(np.int64), pa.int64()),
         "vec_id": pa.array(ids[sel].astype(np.int64), pa.int64()),
     })
     if with_rank:
-        out = out.append_column(
-            "sample_rank",
-            pa.array((rank[rank < n] + 1).astype(np.int64), pa.int64()))
+        out = out.append_column("sample_rank", pa.array(ranks, pa.int64()))
     return out
 
 

@@ -774,17 +774,27 @@ WHERE rn <= {GROUP_SAMPLE_K}
 """
 
 
-def _sample_cut(tbl: pa.Table, k: int) -> pa.Table:
+def _grouped_hash_head(groups: np.ndarray, ids: np.ndarray, k: int):
+    """Original-row indices of the k smallest (md5(id), id) per group, in
+    (group, md5, id) order, plus their 1-based in-group ranks — THE
+    shared deterministic-sampling kernel (group_sample per lang,
+    simsearch.cluster_sample per k-means cluster).  Empty-input safe."""
     keys = np.array([hashlib.md5(str(d).encode()).hexdigest()
-                     for d in tbl["doc_id"].to_pylist()])
-    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    langs = np.array(tbl["lang"].to_pylist())
-    order = np.lexsort((ids, keys, langs))
-    lang_s = langs[order]
-    starts = np.concatenate([[0], np.flatnonzero(lang_s[1:] != lang_s[:-1]) + 1])
-    sizes = np.diff(np.concatenate([starts, [len(lang_s)]]))
-    rank = np.arange(len(lang_s)) - np.repeat(starts, sizes)
-    return tbl.take(pa.array(order[rank < k]))
+                     for d in ids.tolist()])
+    order = np.lexsort((ids, keys, groups))
+    g_s = groups[order]
+    starts = np.concatenate([[0], np.flatnonzero(g_s[1:] != g_s[:-1]) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(g_s)]]))
+    rank = np.arange(len(g_s)) - np.repeat(starts, sizes)
+    sel = rank < k
+    return order[sel], (rank[sel] + 1).astype(np.int64)
+
+
+def _sample_cut(tbl: pa.Table, k: int) -> pa.Table:
+    idx, _ = _grouped_hash_head(
+        np.array(tbl["lang"].to_pylist()),
+        tbl["doc_id"].to_numpy(zero_copy_only=False), k)
+    return tbl.take(pa.array(idx))
 
 
 def group_sample(ds: ray.data.Dataset, k: int = GROUP_SAMPLE_K
@@ -2572,8 +2582,7 @@ def source_hll(ds: ray.data.Dataset) -> ray.data.Dataset:
                                    "rho": "int64"})
     out = {"source": [], "n_buckets_set": [], "max_rho": [],
            "estimate_distinct": []}
-    for src in sorted(df["source"].unique()):
-        g = df[df["source"] == src]
+    for src, g in df.groupby("source", sort=True):  # one pass, not G scans
         regs = {int(b): int(r) for b, r in zip(g["bucket"], g["rho"])}
         out["source"].append(src)
         out["n_buckets_set"].append(len(regs))

@@ -2122,13 +2122,16 @@ class TestEmbedKmeans:
         cids = list(range(k))
         cents = [iv[c].copy() for c in cids]
         for _ in range(iters - 1):
-            sums = {}
+            sums, cnts = {}, {}
             for row in iv:
                 s = sims_row(row, cents)
                 best = cids[int(np.argmax(s))]
                 sums[best] = sums.get(best, 0) + row
+                cnts[best] = cnts.get(best, 0) + 1
             cids = sorted(sums)
-            cents = [sums[c] for c in cids]
+            # truncated integer mean (DuckDB // truncates toward zero)
+            cents = [np.sign(sums[c]) * (np.abs(sums[c]) // cnts[c])
+                     for c in cids]
         out = {}
         for vid, row in enumerate(iv):
             s = sims_row(row, cents)
@@ -2170,6 +2173,23 @@ class TestEmbedKmeans:
         got = {int(r.vec_id): (int(r.cluster), float(r.score))
               for r in out.itertuples()}
         assert got == want
+
+    def test_no_seed_vectors_yields_empty_like_sql(self, ray_session):
+        from nmalign_ray.functions import simsearch as ss
+
+        # ids 100.. never satisfy vec_id < k: c0 is empty, the SQL twin
+        # returns zero rows — so must the engine (r5 review finding 2)
+        vecs = self._vecs(n=6, dim=4, seed=2)
+        tbl = pa.Table.from_pydict(
+            {"vec_id": pa.array(range(100, 106), pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                   pa.list_(pa.float32()))})
+        out = ss.embed_kmeans(ray_session.data.from_arrow(tbl),
+                              k=4).to_pandas()
+        assert len(out) == 0
+        samp = ss.cluster_sample(ray_session.data.from_arrow(tbl),
+                                 k=4).to_pandas()
+        assert len(samp) == 0
 
 
 class TestPagerank:
@@ -2226,6 +2246,15 @@ class TestPagerank:
         n = len(want)
         assert 0.9 * n * lg.PAGERANK_SCALE < sum(got.values()) \
             <= n * lg.PAGERANK_SCALE
+
+    def test_empty_graph_yields_empty_like_sql(self, ray_session):
+        from nmalign_ray.functions import linkgraph as lg
+
+        empty = pa.Table.from_pydict(
+            {"l_partkey": pa.array([], pa.int64()),
+             "l_suppkey": pa.array([], pa.int64())})
+        out = lg.pagerank(ray_session.data.from_arrow(empty)).to_pandas()
+        assert len(out) == 0  # r5 review finding 1: no KeyError crash
 
 
 class TestBpePairCounts:
